@@ -1,0 +1,124 @@
+"""genomicbreedingmodels_tpu — TPU-native genomic prediction framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+GenomicBreeding/GenomicBreedingModels.jl (reference mounted read-only at
+/root/reference): genomic-prediction model zoo (OLS, ridge/RR-BLUP, LASSO,
+Bayes A/B/C Gibbs), GWAS suite (OLS / LMM / REML scans with GRM population-
+structure correction), epistasis feature engineering, and a replicated
+cross-validation harness — plus the core data layer (Genomes/Phenomes/Trials,
+GRM kernels, trial simulator) the reference imports from its external core
+package.
+
+Public API mirrors the reference's exports (src/GenomicBreedingModels.jl:35-48)
+in snake_case Python.
+"""
+
+from .core.structs import (
+    CV,
+    Fit,
+    Genomes,
+    Phenomes,
+    SimulatedEffects,
+    Trials,
+    checkdims,
+    clone,
+    slice_genomes,
+    slice_phenomes,
+)
+from .core.simulation import extract_phenomes, simulate_genomes, simulate_trials
+from .core.grm import grm_ploidy_aware, grm_simple, infer_ploidy
+from .core.tabularise import summarise, tabularise
+from .ops.metrics import metrics
+from .prediction import extractxyetc, predict
+from .models.linear import lasso, ols, ridge
+from .models.bayesian import (
+    bayesa,
+    bayesb,
+    bayesc,
+    bayesian,
+    bayesian_lasso,
+    bayesian_ridge,
+    gibbs_regression,
+)
+from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
+from .features.endofunctions import (
+    addnorm,
+    invoneplus,
+    log10epsdivlog10eps,
+    mult,
+    raise_,
+    square,
+)
+from .features.transform import (
+    epistasisfeatures,
+    reconstitutefeatures,
+    transform1,
+    transform2,
+)
+from .cv.harness import (
+    cvbulk,
+    cvdispatch,
+    cvleaveonepopulationout,
+    cvmultithread,
+    cvpairwisepopulation,
+    cvperpopulation,
+    validate,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CV",
+    "Fit",
+    "Genomes",
+    "Phenomes",
+    "SimulatedEffects",
+    "Trials",
+    "checkdims",
+    "clone",
+    "slice_genomes",
+    "slice_phenomes",
+    "simulate_genomes",
+    "simulate_trials",
+    "extract_phenomes",
+    "grm_simple",
+    "grm_ploidy_aware",
+    "infer_ploidy",
+    "metrics",
+    "extractxyetc",
+    "predict",
+    "ols",
+    "ridge",
+    "lasso",
+    "bayesa",
+    "bayesb",
+    "bayesc",
+    "bayesian",
+    "bayesian_ridge",
+    "bayesian_lasso",
+    "gibbs_regression",
+    "gwasprep",
+    "gwasols",
+    "gwaslmm",
+    "gwasreml",
+    "loglikreml",
+    "square",
+    "invoneplus",
+    "log10epsdivlog10eps",
+    "mult",
+    "addnorm",
+    "raise_",
+    "transform1",
+    "transform2",
+    "epistasisfeatures",
+    "reconstitutefeatures",
+    "validate",
+    "cvdispatch",
+    "cvmultithread",
+    "cvbulk",
+    "cvperpopulation",
+    "cvpairwisepopulation",
+    "cvleaveonepopulationout",
+    "tabularise",
+    "summarise",
+]

@@ -1,0 +1,57 @@
+"""Genomic relationship matrices (GRM/kinship).
+
+TPU-native replacement for GenomicBreedingCore's `grmsimple` /
+`grmploidyaware` (used by the reference at src/gwas.jl:117-126). The Gram
+product runs on-device as a single large matmul (MXU) with float32
+accumulation; for marker counts that exceed device memory the build streams
+column blocks (see ops.grm_blocked and parallel.sharded for the multi-device
+column-sharded version with psum accumulation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .structs import Genomes
+
+__all__ = ["GRMResult", "grm_simple", "grm_ploidy_aware", "infer_ploidy"]
+
+
+@dataclass
+class GRMResult:
+    genomic_relationship_matrix: np.ndarray
+    denominator: float
+    ploidy: int
+
+
+def _grm_from_freqs(freqs: np.ndarray, ploidy: int) -> GRMResult:
+    from ..ops.grm import gram_centered  # local import: keeps core importable without jax
+
+    X = np.asarray(freqs, dtype=np.float64)
+    col_mean = X.mean(axis=0)
+    # VanRaden-style denominator: ploidy * sum_j fbar_j (1 - fbar_j).
+    denom = float(ploidy) * float(np.sum(col_mean * (1.0 - col_mean)))
+    if denom <= 1e-12:
+        denom = 1.0
+    G = gram_centered(X) / denom
+    return GRMResult(genomic_relationship_matrix=np.asarray(G), denominator=denom, ploidy=ploidy)
+
+
+def grm_simple(genomes: Genomes) -> GRMResult:
+    """Simple (diploid-assumption) GRM: centered X Xᵀ / (2 Σ f̄(1-f̄))."""
+    return _grm_from_freqs(genomes.allele_frequencies, ploidy=2)
+
+
+def infer_ploidy(freqs: np.ndarray) -> int:
+    """Infer ploidy as round(1 / min nonzero frequency) (reference src/gwas.jl:119)."""
+    nz = freqs[np.isfinite(freqs) & (freqs != 0.0)]
+    if len(nz) == 0:
+        return 2
+    return max(1, int(round(1.0 / float(np.min(nz)))))
+
+
+def grm_ploidy_aware(genomes: Genomes, ploidy: int = 2) -> GRMResult:
+    """Ploidy-aware GRM: centered X Xᵀ / (ploidy Σ f̄(1-f̄))."""
+    return _grm_from_freqs(genomes.allele_frequencies, ploidy=ploidy)

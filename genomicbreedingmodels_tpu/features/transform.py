@@ -1,0 +1,318 @@
+"""Epistasis feature engineering (reference src/transformation.jl).
+
+- `transform1` (reference :130-238): the reference fits a 1-locus OLS *per
+  column* in a Python... Julia loop. Here the per-feature effect is the
+  closed-form simple-regression slope β = Σ(t-t̄)(y-ȳ)/Σ(t-t̄)², computed for
+  every transformed column in one batched device pass (blocked over columns).
+- `transform2` (reference :319-468): the l² ordered-pair scan runs as blocked
+  outer-product batches on device with a running top-k merge, so memory stays
+  O(n · block · l) regardless of l².
+- `epistasisfeatures` (reference :540-668): n_reps rounds over the unary +
+  binary transformation sets, appending deduplicated features.
+- `reconstitutefeatures` (reference :730-778): the reference re-evaluates
+  feature-name strings with per-entry string substitution + eval. Here the
+  names are parsed ONCE into expression trees and evaluated vectorized over
+  entries (same serialization format, no eval).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.structs import Genomes, Phenomes
+from ..prediction import extractxyetc
+from .endofunctions import BINARY_DEFAULTS, FUNCTION_REGISTRY, UNARY_DEFAULTS, registry_name
+
+__all__ = [
+    "transform1",
+    "transform2",
+    "epistasisfeatures",
+    "reconstitutefeatures",
+    "parse_feature_name",
+]
+
+_EPS = np.finfo(np.float64).eps
+
+
+def _slopes(T: np.ndarray, y: np.ndarray, var_threshold: float) -> np.ndarray:
+    """Simple-regression slopes of y on each column of T (batched, device)."""
+
+    @jax.jit
+    def _k(T, y):
+        Tm = T - jnp.mean(T, axis=0, keepdims=True)
+        ym = y - jnp.mean(y)
+        ss = jnp.sum(Tm * Tm, axis=0)
+        beta = jnp.dot(Tm.T, ym, preferred_element_type=jnp.float32) / jnp.maximum(ss, 1e-30)
+        return beta, ss / jnp.maximum(T.shape[0] - 1, 1)
+
+    beta, var = _k(jnp.asarray(T, jnp.float32), jnp.asarray(y, jnp.float32))
+    beta = np.asarray(beta, dtype=np.float64)
+    beta[np.asarray(var) < var_threshold] = 0.0
+    return beta
+
+
+def _snap(T: np.ndarray, eps: float) -> np.ndarray:
+    T = T.copy()
+    T[np.abs(T) < eps] = 0.0
+    T[np.abs(T - 1.0) < eps] = 1.0
+    return T
+
+
+def _input_var_mask(X: np.ndarray, threshold: float) -> np.ndarray:
+    return np.var(X, axis=0, ddof=1) >= threshold
+
+
+def transform1(
+    f: Callable,
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_trait: int = 0,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    n_new_features_per_transformation: int = 1_000,
+    eps: float = _EPS,
+    use_abs: bool = False,
+    var_threshold: float = 0.01,
+    verbose: bool = False,
+) -> Genomes:
+    """Apply a unary transform to every locus, rank by single-locus effect
+    (reference src/transformation.jl:130-238). Skip criterion: INPUT column
+    variance < var_threshold, as in the reference (:181)."""
+    X, y, entries, populations, loci_alleles = extractxyetc(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, add_intercept=False,
+    )
+    X = X + eps
+    if use_abs:
+        X = np.abs(X)
+    try:
+        T = np.asarray(f(X), dtype=np.float64)
+    except Exception as err:
+        raise ValueError(
+            f"cannot transform allele frequencies with {registry_name(f)!r}: {err}; "
+            "the function must accept a single array argument"
+        ) from err
+    beta = _slopes(T, y, var_threshold=0.0)
+    beta[~_input_var_mask(X, var_threshold)] = 0.0
+    order = np.argsort(-np.abs(beta), kind="stable")[:n_new_features_per_transformation]
+    keep = order[np.abs(beta[order]) > eps]
+    Tk = _snap(T[:, keep], eps)
+    fname = registry_name(f)
+    names = np.asarray([f"{fname}({loc})" for loc in loci_alleles[keep]], dtype=object)
+    out = Genomes(
+        entries=entries, populations=populations, loci_alleles=names, allele_frequencies=Tk
+    )
+    if not out.checkdims():
+        raise RuntimeError(f"error transforming loci with {fname!r}")
+    return out
+
+
+def transform2(
+    f: Callable,
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_trait: int = 0,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    n_new_features_per_transformation: int = 1_000,
+    eps: float = _EPS,
+    use_abs: bool = False,
+    var_threshold: float = 0.01,
+    commutative: bool = False,
+    block: int = 64,
+    verbose: bool = False,
+) -> Genomes:
+    """Apply a binary transform to every ordered locus pair, rank effects
+    (reference src/transformation.jl:319-468)."""
+    X, y, entries, populations, loci_alleles = extractxyetc(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, add_intercept=False,
+    )
+    X = X + eps
+    if use_abs:
+        X = np.abs(X)
+    n, l = X.shape
+    ok = _input_var_mask(X, var_threshold)
+    k_cap = int(n_new_features_per_transformation)
+
+    ym = y - y.mean()
+    Xj = jnp.asarray(X, jnp.float32)
+    ymj = jnp.asarray(ym, jnp.float32)
+
+    @jax.jit
+    def _pair_block_slopes(xi_blk):  # xi_blk: (n, bi)
+        # P[:, a, j] = f(x_a, x_j); flatten pair axis for one batched slope pass.
+        P = f(xi_blk[:, :, None], Xj[:, None, :])  # (n, bi, l)
+        P = P.reshape(n, -1)
+        Pm = P - jnp.mean(P, axis=0, keepdims=True)
+        ss = jnp.sum(Pm * Pm, axis=0)
+        beta = jnp.dot(Pm.T, ymj, preferred_element_type=jnp.float32) / jnp.maximum(ss, 1e-30)
+        return beta
+
+    # Running top-k merge across blocks (flat index = i * l + j).
+    top_idx = np.zeros(0, dtype=np.int64)
+    top_beta = np.zeros(0, dtype=np.float64)
+    for start in range(0, l, block):
+        bi = min(block, l - start)
+        beta = np.asarray(_pair_block_slopes(Xj[:, start : start + bi]), dtype=np.float64)
+        beta = beta.reshape(bi, l)
+        rows = np.arange(start, start + bi)
+        beta[~ok[rows], :] = 0.0
+        beta[:, ~ok] = 0.0
+        if commutative:
+            jj = np.arange(l)[None, :]
+            beta[jj < rows[:, None]] = 0.0
+        flat = beta.reshape(-1)
+        idx_local = np.argsort(-np.abs(flat), kind="stable")[: k_cap]
+        cand_idx = rows[0] * l + idx_local  # == i * l + j since rows contiguous
+        merged_idx = np.concatenate([top_idx, cand_idx])
+        merged_beta = np.concatenate([top_beta, flat[idx_local]])
+        sel = np.argsort(-np.abs(merged_beta), kind="stable")[: k_cap]
+        top_idx, top_beta = merged_idx[sel], merged_beta[sel]
+
+    keep_mask = np.abs(top_beta) > eps
+    sel_idx = np.sort(top_idx[keep_mask])  # reference sorts selected flat indices (:429)
+    ii = sel_idx // l
+    jj = sel_idx % l
+    T = np.asarray(f(X[:, ii], X[:, jj]), dtype=np.float64)
+    T = _snap(T, eps)
+    fname = registry_name(f)
+    names = np.asarray(
+        [f"{fname}({loci_alleles[a]},{loci_alleles[b]})" for a, b in zip(ii, jj)], dtype=object
+    )
+    out = Genomes(entries=entries, populations=populations, loci_alleles=names, allele_frequencies=T)
+    if not out.checkdims():
+        raise RuntimeError(f"error transforming locus pairs with {fname!r}")
+    return out
+
+
+def epistasisfeatures(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_trait: int = 0,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    transformations1: Sequence[Callable] = UNARY_DEFAULTS,
+    transformations2: Sequence[Callable] = BINARY_DEFAULTS,
+    n_new_features_per_transformation: int = 1_000,
+    n_reps: int = 3,
+    verbose: bool = False,
+) -> Genomes:
+    """Grow a genomes struct with engineered epistasis features
+    (reference src/transformation.jl:540-668)."""
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    if not phenomes.checkdims():
+        raise ValueError("the Phenomes struct is corrupted")
+    if not np.array_equal(genomes.entries, phenomes.entries):
+        raise ValueError("genomes and phenomes must be merged to have consistent entries")
+    g = genomes.slice(idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles)
+    ph = phenomes.slice(
+        idx_entries=idx_entries,
+        idx_traits=[idx_trait],
+    )
+    for _rep in range(n_reps):
+        for f in list(transformations1) + list(transformations2):
+            unary = f in tuple(transformations1)
+            tf = transform1 if unary else transform2
+            new = tf(
+                f, g, ph,
+                idx_trait=0,
+                n_new_features_per_transformation=n_new_features_per_transformation,
+            )
+            existing = set(g.loci_alleles.tolist())
+            fresh = [i for i, nm in enumerate(new.loci_alleles.tolist()) if nm not in existing]
+            if fresh:
+                g = Genomes(
+                    entries=g.entries,
+                    populations=g.populations,
+                    loci_alleles=np.concatenate([g.loci_alleles, new.loci_alleles[fresh]]),
+                    allele_frequencies=np.concatenate(
+                        [g.allele_frequencies, new.allele_frequencies[:, fresh]], axis=1
+                    ),
+                )
+            lo = g.allele_frequencies.min()
+            hi = g.allele_frequencies.max()
+            if lo < 0.0 or hi > 1.0 + 1e-12:
+                raise ValueError(
+                    f"the function {registry_name(f)!r} generates values outside [0, 1] "
+                    f"(observed range [{lo}, {hi}])"
+                )
+    if not g.checkdims():
+        raise RuntimeError("error generating new features")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Feature reconstitution: parse name strings -> expression trees -> vectorized
+# ---------------------------------------------------------------------------
+
+
+def parse_feature_name(name: str, known_funcs=FUNCTION_REGISTRY):
+    """Parse 'f(a,g(b,c))' into ('f', [child...]); leaves are locus names."""
+    name = name.strip()
+    paren = name.find("(")
+    if paren > 0 and name.endswith(")") and name[:paren] in known_funcs:
+        fname = name[:paren]
+        inner = name[paren + 1 : -1]
+        args, depth, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(inner[start:i])
+                start = i + 1
+        args.append(inner[start:])
+        return (fname, [parse_feature_name(a, known_funcs) for a in args])
+    return name  # leaf locus
+
+
+def _eval_tree(tree, genomes: Genomes, cache: dict) -> np.ndarray:
+    if isinstance(tree, str):
+        idx = genomes.locus_indices([tree])[0]
+        return genomes.allele_frequencies[:, idx]
+    fname, children = tree
+    key = repr(tree)
+    if key in cache:
+        return cache[key]
+    f = FUNCTION_REGISTRY[fname]
+    vals = [_eval_tree(c, genomes, cache) for c in children]
+    # Reapply the ε shift the transforms applied to their inputs.
+    vals = [v + _EPS for v in vals]
+    out = np.asarray(f(*vals), dtype=np.float64)
+    cache[key] = out
+    return out
+
+
+def reconstitutefeatures(
+    genomes: Genomes,
+    feature_names: Sequence[str],
+    verbose: bool = False,
+) -> Genomes:
+    """Re-materialize engineered features on a new genomes struct from their
+    name strings (reference src/transformation.jl:730-778, minus the eval)."""
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    n = genomes.n
+    cols = np.zeros((n, len(feature_names)))
+    cache: dict = {}
+    for j, name in enumerate(feature_names):
+        tree = parse_feature_name(str(name))
+        cols[:, j] = _eval_tree(tree, genomes, cache)
+    cols = _snap(cols, _EPS)
+    out = Genomes(
+        entries=genomes.entries,
+        populations=genomes.populations,
+        loci_alleles=np.asarray(list(feature_names), dtype=object),
+        allele_frequencies=cols,
+    )
+    if not out.checkdims():
+        raise RuntimeError("error reconstituting features")
+    return out

@@ -1,0 +1,3 @@
+from .linear import ols, ridge, lasso
+from .bayesian import bayesa, bayesb, bayesc, bayesian, bayesian_ridge, bayesian_lasso, gibbs_regression
+from .gwas import gwasprep, gwasols, gwaslmm, gwasreml, loglikreml

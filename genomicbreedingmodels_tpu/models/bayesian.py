@@ -1,0 +1,406 @@
+"""Native JAX Gibbs samplers for the Bayesian alphabet (Bayes A/B/C, Bayesian
+ridge, Bayesian LASSO).
+
+This replaces the reference's subprocess FFI to R's BGLR package (reference
+src/bayes.jl:28-105 writes TSVs, generates an R script, shells out to Rscript,
+and parses effects back). Here the whole MCMC chain is ONE compiled XLA
+program: `lax.scan` over sweeps, and within each sweep a blocked marker update
+that keeps every n-dimensional operation a GEMM/GEMV on the MXU.
+
+Blocked-exact design: Gibbs over marker effects is inherently sequential
+(each conditional depends on the latest residual). Naively that is p
+residual-vector updates per sweep. Instead markers are partitioned into
+blocks of size `block_size`; per block we compute u = X_bᵀ r once (GEMV) and
+precompute the block Gram C_b = X_bᵀ X_b once per chain. The within-block
+sequential pass then tracks the effect of already-updated markers through
+C_b columns (length-`block_size` VPU axpys) instead of touching the length-n
+residual; the residual is corrected once per block with a single GEMV. The
+chain is bit-for-bit the same distribution as fully-sequential Gibbs.
+
+Priors follow BGLR's gaussian defaults (R2=0.5, df=5, scaled-inverse-χ²
+residual and marker variances, Beta-updated inclusion probability for
+Bayes B/C), so posterior means match the reference's backend to MCMC noise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.structs import Fit, Genomes, Phenomes
+from ..ops.metrics import metrics
+from ..prediction import extractxyetc
+
+__all__ = [
+    "gibbs_regression",
+    "bayesian",
+    "bayesa",
+    "bayesb",
+    "bayesc",
+    "bayesian_ridge",
+    "bayesian_lasso",
+    "BAYESIAN_MODELS",
+]
+
+BAYESIAN_MODELS = ("BayesA", "BayesB", "BayesC", "BRR", "BL")
+
+_MODEL_IDS = {m: i for i, m in enumerate(BAYESIAN_MODELS)}
+
+
+def _chi2(key, df, shape=()):
+    return 2.0 * jax.random.gamma(key, df / 2.0, shape=shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks"),
+)
+def _gibbs_chain(
+    X: jnp.ndarray,  # (n, p_pad)
+    y: jnp.ndarray,  # (n,)
+    valid: jnp.ndarray,  # (p_pad,) 1.0 for real markers
+    key: jnp.ndarray,
+    hyper: Dict[str, jnp.ndarray],
+    model_id: int,
+    n_iter: int,
+    n_burnin: int,
+    block_size: int,
+    n_blocks: int,
+):
+    n, p_pad = X.shape
+    bs = block_size
+    x2 = jnp.sum(X * X, axis=0)  # (p_pad,)
+    # Per-block Gram matrices: (B, bs, bs); each is one MXU matmul.
+    Xb = X.T.reshape(n_blocks, bs, n)  # block-major marker layout
+    C = jnp.einsum("bin,bjn->bij", Xb, Xb, preferred_element_type=jnp.float32)
+
+    df_b = hyper["df_b"]
+    S_b0 = hyper["S_b0"]
+    df_e = hyper["df_e"]
+    S_e0 = hyper["S_e0"]
+    pi_in0 = hyper["pi_in"]
+    pi_counts = hyper["pi_counts"]
+    p_real = jnp.sum(valid)
+
+    has_indicator = model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
+    per_marker_var = model_id in (_MODEL_IDS["BayesA"], _MODEL_IDS["BayesB"], _MODEL_IDS["BL"])
+    is_bl = model_id == _MODEL_IDS["BL"]
+
+    def block_step(carry, blk):
+        b, r, s2, sig_e2, pi_in, key = carry
+        key, k_blk = jax.random.split(key)
+        Xblk = jax.lax.dynamic_slice(X, (0, blk * bs), (n, bs))
+        u = jnp.dot(Xblk.T, r, preferred_element_type=jnp.float32)  # (bs,)
+        b_blk = jax.lax.dynamic_slice(b, (blk * bs,), (bs,))
+        x2_blk = jax.lax.dynamic_slice(x2, (blk * bs,), (bs,))
+        s2_blk = jax.lax.dynamic_slice(s2, (blk * bs,), (bs,))
+        val_blk = jax.lax.dynamic_slice(valid, (blk * bs,), (bs,))
+        Cb = C[blk]
+        # Pre-draw the block's random numbers so the sequential pass is pure
+        # arithmetic (one draw per marker, consumed in order).
+        k1, k2 = jax.random.split(k_blk)
+        normals = jax.random.normal(k1, (bs,))
+        uniforms = jax.random.uniform(k2, (bs,))
+
+        def marker_step(carry, j):
+            """One marker's exact sequential-Gibbs update within the block.
+
+            Read-only block state (Cb, u, x2_blk, ...) is closed over; the
+            carry holds only what mutates (cdelta, delta, b_blk) so XLA keeps
+            the loop state in registers/VMEM without re-copying the Gram tile.
+            """
+            cdelta, delta, b_blk = carry
+            num = u[j] - cdelta[j] + x2_blk[j] * b_blk[j]  # x_jᵀ(y - μ - X₋ⱼ b₋ⱼ)
+            prec = x2_blk[j] / sig_e2 + 1.0 / s2_blk[j]
+            mean = (num / sig_e2) / prec
+            sd = jnp.sqrt(1.0 / prec)
+            b_new_in = mean + sd * normals[j]
+            if has_indicator:
+                # Marginal (effect-integrated) inclusion odds.
+                log_odds = (
+                    jnp.log(pi_in / (1.0 - pi_in))
+                    - 0.5 * jnp.log(s2_blk[j] * prec)
+                    + 0.5 * mean * mean * prec
+                )
+                incl = uniforms[j] < jax.nn.sigmoid(log_odds)
+                b_new = jnp.where(incl, b_new_in, 0.0)
+            else:
+                incl = jnp.bool_(True)
+                b_new = b_new_in
+            b_new = jnp.where(val_blk[j] > 0, b_new, 0.0)
+            d = b_new - b_blk[j]
+            cdelta = cdelta + Cb[:, j] * d  # length-bs axpy, VPU
+            delta = delta.at[j].set(d)
+            b_blk = b_blk.at[j].set(b_new)
+            return (cdelta, delta, b_blk), incl
+
+        init = (jnp.zeros(bs), jnp.zeros(bs), b_blk)
+        (cdelta, delta, b_blk_new), incl = jax.lax.scan(marker_step, init, jnp.arange(bs))
+        r = r - jnp.dot(Xblk, delta, preferred_element_type=jnp.float32)
+        b = jax.lax.dynamic_update_slice(b, b_blk_new, (blk * bs,))
+        return (b, r, s2, sig_e2, pi_in, key), incl
+
+    def sweep(state, it):
+        b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n = state
+        key, k_mu, k_e, k_s2, k_scale, k_hyper, k_pi1, k_pi2, k_blks = jax.random.split(key, 9)
+
+        # 1) Marker effects, blocked-exact Gibbs.
+        (b, r, s2, sig_e2, pi_in, _), incl = jax.lax.scan(
+            block_step, (b, r, s2, sig_e2, pi_in, k_blks), jnp.arange(n_blocks)
+        )
+        incl = incl.reshape(-1) * valid
+        active = jnp.where(has_indicator, incl, valid)
+
+        # 2) Intercept.
+        mu_new = mu + jnp.mean(r) + jnp.sqrt(sig_e2 / n) * jax.random.normal(k_mu)
+        r = r - (mu_new - mu)
+        mu = mu_new
+
+        # 3) Residual variance: σ²ₑ = (SSE + Sₑ) / χ²(n + dfₑ)  (BGLR convention).
+        sse = jnp.dot(r, r)
+        sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + n)
+
+        # 4) Marker variances.
+        if per_marker_var:
+            if is_bl:
+                # Bayesian LASSO: τ²ⱼ via inverse-Gaussian; λ² via Gamma.
+                lam2 = S_scale
+                mu_ig = jnp.sqrt(lam2 * sig_e2 / jnp.maximum(b * b, 1e-12))
+                nrm = jax.random.normal(k_s2, (p_pad,))
+                v = nrm * nrm
+                x_ig = (
+                    mu_ig
+                    + mu_ig * mu_ig * v / (2.0 * lam2)
+                    - mu_ig / (2.0 * lam2) * jnp.sqrt(4.0 * lam2 * mu_ig * v + mu_ig**2 * v * v)
+                )
+                ubern = jax.random.uniform(k_scale, (p_pad,))
+                inv_tau2 = jnp.where(ubern <= mu_ig / (mu_ig + x_ig), x_ig, mu_ig * mu_ig / jnp.maximum(x_ig, 1e-20))
+                s2 = jnp.clip(sig_e2 / jnp.maximum(inv_tau2, 1e-12), 1e-10, 1e6)
+                # λ² | τ² ~ Gamma(p + shape, Στ²/2 + rate)
+                tau2_sum = jnp.sum(jnp.where(valid > 0, s2 / sig_e2, 0.0))
+                lam2 = jax.random.gamma(k_hyper, p_real + 1.1) / (0.5 * tau2_sum + 1.1 / hyper["lam2_0"])
+                S_scale = lam2
+            else:
+                # Scaled-t (BayesA/B): σ²ⱼ | bⱼ ~ (S + bⱼ²)/χ²(df+1) when active,
+                # prior draw S/χ²(df) when excluded.
+                chis = _chi2(k_s2, df_b + 1.0, (p_pad,))
+                chis0 = _chi2(k_scale, df_b, (p_pad,))
+                s2_in = (S_scale + b * b) / chis
+                s2_out = S_scale / chis0
+                s2 = jnp.where(active > 0, s2_in, s2_out)
+                s2 = jnp.clip(s2, 1e-10, 1e6)
+                # Hyper-scale S | σ²ⱼ ~ Gamma.
+                inv_sum = jnp.sum(jnp.where(valid > 0, 1.0 / s2, 0.0))
+                S_scale = jax.random.gamma(k_hyper, p_real * df_b / 2.0 + 1.1) / (
+                    0.5 * inv_sum + 1.1 / S_b0
+                )
+        else:
+            # Common slab variance (BayesC / BRR).
+            k_a, k_b2 = jax.random.split(k_s2)
+            ssb = jnp.sum(jnp.where(active > 0, b * b, 0.0))
+            nb = jnp.sum(active)
+            s2_common = (ssb + S_b0 * df_b) / _chi2(k_a, df_b + nb)
+            s2_common = jnp.clip(s2_common, 1e-10, 1e6)
+            s2 = jnp.full((p_pad,), s2_common)
+
+        # 5) Inclusion probability π (BayesB/C).
+        if has_indicator:
+            n_in = jnp.sum(incl)
+            a = pi_in0 * pi_counts + n_in
+            bcount = (1.0 - pi_in0) * pi_counts + (p_real - n_in)
+            g1 = jax.random.gamma(k_pi1, a)
+            g2 = jax.random.gamma(k_pi2, bcount)
+            pi_in = jnp.clip(g1 / (g1 + g2), 1e-4, 1.0 - 1e-4)
+
+        # 6) Posterior accumulation after burn-in.
+        w = jnp.where(it >= n_burnin, 1.0, 0.0)
+        acc_b = acc_b + w * b
+        acc_mu = acc_mu + w * mu
+        acc_n = acc_n + w
+        return (b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n), sig_e2
+
+    mu0 = jnp.mean(y)
+    state0 = (
+        jnp.zeros(p_pad),  # b
+        y - mu0,  # r
+        jnp.full((p_pad,), S_b0 / jnp.maximum(df_b - 2.0, 0.5)),  # s2
+        jnp.var(y) * 0.5,  # sig_e2
+        mu0,  # mu
+        pi_in0,  # pi
+        jnp.where(is_bl, hyper["lam2_0"], S_b0),  # S_scale / λ²
+        key,
+        jnp.zeros(p_pad),
+        0.0,
+        0.0,
+    )
+    state, sig_trace = jax.lax.scan(sweep, state0, jnp.arange(n_iter))
+    *_, acc_b, acc_mu, acc_n = state
+    return acc_mu / acc_n, acc_b / acc_n, sig_trace
+
+
+def gibbs_regression(
+    X,
+    y,
+    model: str = "BayesA",
+    n_iter: int = 1_500,
+    n_burnin: int = 500,
+    seed: int = 42,
+    block_size: int = 256,
+    n_chains: int = 1,
+    r2: float = 0.5,
+) -> Tuple[float, np.ndarray, dict]:
+    """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
+
+    `n_chains > 1` runs independent chains (vmapped — data-parallel across the
+    batch dimension, or across devices under shard_map) and averages posterior
+    means.
+    """
+    if model not in _MODEL_IDS:
+        raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n, p = X.shape
+    bs = int(min(block_size, max(8, p)))
+    p_pad = ((p + bs - 1) // bs) * bs
+    Xp = np.zeros((n, p_pad), dtype=np.float32)
+    Xp[:, :p] = X
+    valid = np.zeros(p_pad, dtype=np.float32)
+    valid[:p] = 1.0
+
+    var_y = float(np.var(y, ddof=1))
+    ms_x = float(np.sum(np.var(X, axis=0)))
+    ms_x = max(ms_x, 1e-8)
+    df_b, df_e = 5.0, 5.0
+    pi_in = 0.5 if model in ("BayesB", "BayesC") else 1.0
+    S_b0 = var_y * r2 / ms_x * (df_b + 2.0) / pi_in
+    S_e0 = var_y * (1.0 - r2) * (df_e + 2.0)
+    hyper = {
+        "df_b": jnp.float32(df_b),
+        "S_b0": jnp.float32(S_b0),
+        "df_e": jnp.float32(df_e),
+        "S_e0": jnp.float32(S_e0),
+        "pi_in": jnp.float32(pi_in),
+        "pi_counts": jnp.float32(10.0),
+        "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
+    }
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    run = partial(
+        _gibbs_chain,
+        jnp.asarray(Xp),
+        jnp.asarray(y),
+        jnp.asarray(valid),
+        hyper=hyper,
+        model_id=_MODEL_IDS[model],
+        n_iter=int(n_iter),
+        n_burnin=int(n_burnin),
+        block_size=bs,
+        n_blocks=p_pad // bs,
+    )
+    if n_chains == 1:
+        mu_hat, b_hat, sig_trace = run(keys[0])
+        mu_hat = float(mu_hat)
+        b_hat = np.asarray(b_hat[:p], dtype=np.float64)
+    else:
+        mus, bs_, sig_trace = jax.vmap(run)(keys)
+        mu_hat = float(jnp.mean(mus))
+        b_hat = np.asarray(jnp.mean(bs_, axis=0)[:p], dtype=np.float64)
+        sig_trace = sig_trace[0]
+    diag = {"sigma_e2_trace": np.asarray(sig_trace, dtype=np.float64)}
+    return mu_hat, b_hat, diag
+
+
+def bayesian(
+    bglr_model: str,
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    response_type: str = "gaussian",
+    n_burnin: int = 500,
+    n_iter: int = 1_500,
+    seed: int = 42,
+    n_chains: int = 1,
+    verbose: bool = False,
+) -> Fit:
+    """Fit a Bayesian-alphabet model (reference `bayesian`, src/bayes.jl:161-228).
+
+    The reference shells out to R/BGLR here; we run the native sampler.
+    `response_type="ordinal"` is not yet implemented (the reference never uses
+    it in its own pipelines).
+    """
+    if response_type != "gaussian":
+        raise NotImplementedError("only gaussian response is supported")
+    X, y, entries, populations, loci_alleles = extractxyetc(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, add_intercept=True,
+    )
+    G = X[:, 1:]
+    mu_hat, b_marker, _ = gibbs_regression(
+        G, y, model=bglr_model, n_iter=n_iter, n_burnin=n_burnin, seed=seed, n_chains=n_chains,
+    )
+    b_hat = np.concatenate([[mu_hat], b_marker])
+    y_pred = X @ b_hat
+    fit = Fit(
+        model=bglr_model,
+        b_hat=b_hat,
+        b_hat_labels=np.concatenate([np.asarray(["intercept"], dtype=object), loci_alleles]),
+        trait=str(phenomes.traits[idx_trait]),
+        entries=entries,
+        populations=populations,
+        y_true=y,
+        y_pred=y_pred,
+        metrics=metrics(y, y_pred),
+    )
+    if not fit.checkdims():
+        raise RuntimeError(f"error fitting {bglr_model}")
+    return fit
+
+
+def _alphabet(model_key: str, public_name: str):
+    def f(
+        genomes: Genomes,
+        phenomes: Phenomes,
+        idx_entries=None,
+        idx_loci_alleles=None,
+        idx_trait: int = 0,
+        n_iter: int = 1_500,
+        n_burnin: int = 500,
+        seed: int = 42,
+        n_chains: int = 1,
+        verbose: bool = False,
+    ) -> Fit:
+        fit = bayesian(
+            model_key,
+            genomes=genomes,
+            phenomes=phenomes,
+            idx_entries=idx_entries,
+            idx_loci_alleles=idx_loci_alleles,
+            idx_trait=idx_trait,
+            n_iter=n_iter,
+            n_burnin=n_burnin,
+            seed=seed,
+            n_chains=n_chains,
+            verbose=verbose,
+        )
+        fit.model = public_name
+        return fit
+
+    f.__name__ = public_name
+    f.__qualname__ = public_name
+    f.__doc__ = (
+        f"Fit {model_key} via the native blocked Gibbs sampler "
+        f"(reference wrapper at src/linear.jl:440-626)."
+    )
+    return f
+
+
+bayesa = _alphabet("BayesA", "bayesa")
+bayesb = _alphabet("BayesB", "bayesb")
+bayesc = _alphabet("BayesC", "bayesc")
+bayesian_ridge = _alphabet("BRR", "bayesian_ridge")
+bayesian_lasso = _alphabet("BL", "bayesian_lasso")

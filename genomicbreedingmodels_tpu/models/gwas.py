@@ -1,0 +1,366 @@
+"""GWAS suite: OLS, LMM, and REML single-marker scans (reference src/gwas.jl).
+
+TPU-first redesign of the hot paths:
+
+- `gwasols` (reference :206-259): the reference loops markers on threads doing
+  a 3x3 pinv each. Here the per-marker [1, PC1, g_j] cross-products are formed
+  with two GEMMs and the 3x3 solves are vmapped — one fused XLA program for
+  the entire scan.
+- `gwasreml` (reference :549-613): the reference runs LBFGS per marker where
+  every log-likelihood evaluation does an n x n `pinv` — O(p · iters · n³).
+  Here the GRM is eigendecomposed ONCE (K = U S Uᵀ); rotating y and the
+  design by Uᵀ diagonalizes V = σ²ᵤK + σ²ₑI, so the per-marker 2-parameter
+  REML objective is O(n) and is optimized for ALL markers simultaneously
+  (vmapped grid seed + projected Newton). Total cost O(n³ + p·n·iters).
+- `gwaslmm` (reference :329-399): the reference fits a per-marker MixedModel
+  with a singleton (1|entries) random intercept — with one record per entry
+  that variance split is unidentifiable. We implement the statistically
+  standard kinship LMM (EMMAX): variance components are estimated once on the
+  null model (X = [1, PC1]), then per-marker GLS z-statistics are computed in
+  the rotated basis. Divergence documented here intentionally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grm import grm_ploidy_aware, grm_simple, infer_ploidy
+from ..core.structs import Fit, Genomes, Phenomes
+from ..prediction import extractxyetc
+
+__all__ = ["gwasprep", "gwasols", "gwaslmm", "gwasreml", "loglikreml", "grm_pc1"]
+
+GRM_TYPES = ("simple", "ploidy-aware")
+
+
+def gwasprep(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+    standardise: bool = True,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Fit]:
+    """Prepare (G, y, K, Fit) for GWAS (reference src/gwas.jl:77-142).
+
+    Drops zero-variance loci, builds the GRM, and z-standardizes y/G/K columns.
+    Divergence from the reference: the GRM is built on the *selected entries*
+    (the reference builds it on the full struct even when idx_entries subsets,
+    which would mis-shape K; its doctests never subset).
+    """
+    G, y, entries, populations, loci_alleles = extractxyetc(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, add_intercept=False,
+    )
+    if GRM_type not in GRM_TYPES:
+        raise ValueError(f"unrecognised GRM_type {GRM_type!r}; choose from {GRM_TYPES}")
+    if np.var(y, ddof=1) < np.finfo(np.float64).eps:
+        raise ValueError(f"no variance in the trait: {phenomes.traits[idx_trait]}")
+    v = np.std(G, axis=0, ddof=1)
+    keep = np.flatnonzero((v > np.finfo(np.float64).eps) & np.isfinite(v))
+    G = G[:, keep]
+    loci_alleles = loci_alleles[keep]
+
+    sub = Genomes(
+        entries=entries,
+        populations=populations,
+        loci_alleles=loci_alleles,
+        allele_frequencies=G,
+    )
+    if GRM_type == "ploidy-aware":
+        ploidy = infer_ploidy(G)
+        K = grm_ploidy_aware(sub, ploidy=ploidy).genomic_relationship_matrix
+    else:
+        K = grm_simple(sub).genomic_relationship_matrix
+    K = np.asarray(K, dtype=np.float64)
+
+    if standardise:
+        y = (y - y.mean()) / y.std(ddof=1)
+        G = (G - G.mean(axis=0)) / v[keep]
+        Ks = K.std(axis=0, ddof=1)
+        Ks[Ks < 1e-12] = 1.0
+        K = (K - K.mean(axis=0)) / Ks
+
+    n, l = G.shape
+    fit = Fit(
+        model="",
+        b_hat=np.zeros(l),
+        b_hat_labels=loci_alleles,
+        trait=str(phenomes.traits[idx_trait]),
+        entries=entries,
+        populations=populations,
+        metrics={"": 0.0},
+    )
+    return G, y, K, fit
+
+
+def grm_pc1(K: np.ndarray) -> np.ndarray:
+    """First principal component of the GRM (population-structure covariate).
+
+    Equivalent of `MultivariateStats.fit(PCA, GRM; maxoutdim=1).proj[:, 1]`
+    (reference src/gwas.jl:234): leading eigenvector of the covariance of K's
+    columns.
+    """
+    Kc = K - K.mean(axis=1, keepdims=True)
+    C = (Kc @ Kc.T) / max(K.shape[1] - 1, 1)
+    s, U = np.linalg.eigh(C)
+    return U[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# GWAS via OLS: vmapped 3-column closed-form solves
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _gwasols_scan(G: jnp.ndarray, y: jnp.ndarray, pc1: jnp.ndarray) -> jnp.ndarray:
+    n = G.shape[0]
+    F = jnp.stack([jnp.ones(n), pc1], axis=1)  # (n, 2)
+    FtF = F.T @ F  # (2, 2)
+    Fty = F.T @ y  # (2,)
+    FtG = jnp.dot(F.T, G, preferred_element_type=jnp.float32)  # (2, p)
+    GtG = jnp.sum(G * G, axis=0)  # (p,)
+    Gty = jnp.dot(G.T, y, preferred_element_type=jnp.float32)  # (p,)
+
+    def per_marker(ftg, gtg, gty):
+        XtX = jnp.zeros((3, 3))
+        XtX = XtX.at[:2, :2].set(FtF)
+        XtX = XtX.at[:2, 2].set(ftg)
+        XtX = XtX.at[2, :2].set(ftg)
+        XtX = XtX.at[2, 2].set(gtg)
+        Xty = jnp.concatenate([Fty, gty[None]])
+        Vinv = jnp.linalg.pinv(XtX)
+        b = Vinv @ Xty
+        return b[2] / jnp.sqrt(jnp.maximum(Vinv[2, 2], 1e-30))
+
+    return jax.vmap(per_marker)(FtG.T, GtG, Gty)
+
+
+def gwasols(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+    verbose: bool = False,
+) -> Fit:
+    """GWAS via OLS with PC1 population-structure correction (reference :206-259).
+
+    b_hat holds the per-marker t-statistic b / sqrt((XᵀX)⁻¹[2,2]) exactly as
+    the reference computes it (src/gwas.jl:241-245).
+    """
+    G, y, K, fit = gwasprep(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+    )
+    fit.model = "GWAS_OLS"
+    pc1 = grm_pc1(K)
+    t = _gwasols_scan(
+        jnp.asarray(G, jnp.float32), jnp.asarray(y, jnp.float32), jnp.asarray(pc1, jnp.float32)
+    )
+    fit.b_hat = np.asarray(t, dtype=np.float64)
+    if not fit.checkdims():
+        raise RuntimeError("error performing GWAS via OLS")
+    return fit
+
+
+# ---------------------------------------------------------------------------
+# REML in the GRM eigenbasis
+# ---------------------------------------------------------------------------
+
+
+def loglikreml(theta, data) -> float:
+    """Reference REML objective (src/gwas.jl:450-483), for API parity/tests.
+
+    theta = [σ²_e, σ²_u]; data = (y, X, K). Returns
+    0.5 log|V| + yᵀPy + log|XᵀV⁻¹X| with V = σ²_u K + σ²_e I. Computed via
+    the eigenbasis of the symmetrized K instead of a dense pinv.
+    """
+    y, X, K = data
+    s, U = np.linalg.eigh((np.asarray(K) + np.asarray(K).T) / 2.0)
+    s = np.maximum(s, 0.0)
+    yt = U.T @ y
+    Xt = U.T @ X
+    d = theta[1] * s + theta[0]
+    XtVX = (Xt / d[:, None]).T @ Xt
+    q = (Xt / d[:, None]).T @ yt
+    yPy = float(np.sum(yt * yt / d) - q @ np.linalg.solve(XtVX, q))
+    sign, logdet = np.linalg.slogdet(XtVX)
+    if sign <= 0:
+        return np.inf
+    return float(0.5 * np.sum(np.log(d)) + yPy + logdet)
+
+
+def _rotated_loglik(theta, yt, Xt, s):
+    """Same objective on pre-rotated inputs; jax scalar fn of theta=(σ²e, σ²u)."""
+    d = theta[1] * s + theta[0]
+    inv_d = 1.0 / d
+    XtVX = jnp.einsum("nk,n,nm->km", Xt, inv_d, Xt)
+    q = jnp.einsum("nk,n,n->k", Xt, inv_d, yt)
+    sol = jnp.linalg.solve(XtVX, q)
+    yPy = jnp.sum(yt * yt * inv_d) - q @ sol
+    _, logdet = jnp.linalg.slogdet(XtVX)
+    return 0.5 * jnp.sum(jnp.log(d)) + yPy + logdet
+
+
+_EPS = 1e-6
+
+
+@partial(jax.jit, static_argnames=("n_grid", "n_newton"))
+def _reml_scan(yt: jnp.ndarray, Xt_all: jnp.ndarray, s: jnp.ndarray, n_grid: int = 16, n_newton: int = 10):
+    """Per-marker REML variance components + GLS z-stats, fully vmapped.
+
+    Xt_all: (p, n, k) rotated designs. Grid-seeds θ = (σ²e, σ²u) on a log
+    lattice in [1e-6, 1]² (the reference bounds, src/gwas.jl:588), then runs
+    projected Newton in log-θ. Returns (z, theta) with z = b_k / sqrt(Var b_k).
+    """
+    grid = jnp.logspace(-5, 0, n_grid)
+    tg = jnp.stack(jnp.meshgrid(grid, grid, indexing="ij"), axis=-1).reshape(-1, 2)
+
+    def solve_one(Xt):
+        def ll_log(lt):
+            return _rotated_loglik(jnp.exp(lt), yt, Xt, s)
+
+        vals = jax.vmap(lambda th: _rotated_loglik(th, yt, Xt, s))(tg)
+        lt0 = jnp.log(tg[jnp.argmin(vals)])
+
+        def newton(i, lt):
+            g = jax.grad(ll_log)(lt)
+            H = jax.hessian(ll_log)(lt)
+            H = H + 1e-4 * jnp.eye(2)
+            step = jnp.linalg.solve(H, g)
+            # Backtrack: halve until improvement (3 trials, static).
+            f0 = ll_log(lt)
+            cand = [lt - step, lt - 0.5 * step, lt - 0.25 * step]
+            fs = jnp.stack([ll_log(c) for c in cand])
+            best = jnp.argmin(fs)
+            lt_new = jnp.stack(cand)[best]
+            lt_new = jnp.where(fs[best] < f0, lt_new, lt)
+            return jnp.clip(lt_new, jnp.log(_EPS), 0.0)
+
+        lt = jax.lax.fori_loop(0, n_newton, newton, lt0)
+        theta = jnp.exp(lt)
+        d = theta[1] * s + theta[0]
+        inv_d = 1.0 / d
+        XtVX = jnp.einsum("nk,n,nm->km", Xt, inv_d, Xt)
+        q = jnp.einsum("nk,n,n->k", Xt, inv_d, yt)
+        cov_b = jnp.linalg.pinv(XtVX)
+        b = cov_b @ q
+        z = b[-1] / jnp.sqrt(jnp.maximum(cov_b[-1, -1], 1e-30))
+        return z, theta
+
+    return jax.vmap(solve_one)(Xt_all)
+
+
+def _symmetric_eig_rotation(K: np.ndarray):
+    s, U = np.linalg.eigh((K + K.T) / 2.0)
+    return np.maximum(s, 0.0), U
+
+
+def gwasreml(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+    marker_block: int = 1024,
+    verbose: bool = False,
+) -> Fit:
+    """Per-marker 2-VC REML GWAS (reference src/gwas.jl:549-613), rotated.
+
+    b_hat holds the z-statistic b / sqrt(Var(b)) of the marker effect from the
+    GLS fit at the per-marker REML optimum.
+    """
+    G, y, K, fit = gwasprep(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+    )
+    fit.model = "GWAS_REML"
+    n, l = G.shape
+    s, U = _symmetric_eig_rotation(K)
+    yt = jnp.asarray(U.T @ y, jnp.float32)
+    ones_t = jnp.asarray(U.T @ np.ones(n), jnp.float32)
+    s_j = jnp.asarray(s, jnp.float32)
+    Gt = U.T @ G  # (n, l) one GEMM
+    z_out = np.zeros(l)
+    for start in range(0, l, marker_block):
+        blk = jnp.asarray(Gt[:, start : start + marker_block], jnp.float32)
+        Xt_all = jnp.stack(
+            [jnp.broadcast_to(ones_t[:, None], blk.shape), blk], axis=-1
+        ).transpose(1, 0, 2)  # (b, n, 2)
+        z, _ = _reml_scan(yt, Xt_all, s_j)
+        z_out[start : start + blk.shape[1]] = np.asarray(z, dtype=np.float64)
+    fit.b_hat = z_out
+    if not fit.checkdims():
+        raise RuntimeError("error performing GWAS via REML")
+    return fit
+
+
+def gwaslmm(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+    verbose: bool = False,
+) -> Fit:
+    """Kinship-LMM GWAS (EMMAX-style): null-model REML once, then per-marker
+    GLS z-stats in the rotated basis (see module docstring for the documented
+    divergence from reference src/gwas.jl:329-399).
+    """
+    G, y, K, fit = gwasprep(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+    )
+    fit.model = "GWAS_LMM"
+    n, l = G.shape
+    pc1 = grm_pc1(K)
+    s, U = _symmetric_eig_rotation(K)
+    yt = jnp.asarray(U.T @ y, jnp.float32)
+    s_j = jnp.asarray(s, jnp.float32)
+    F = np.stack([np.ones(n), pc1], axis=1)
+    Ft = jnp.asarray(U.T @ F, jnp.float32)
+    # Null-model variance components (single 2-parameter REML solve).
+    z_null, theta = _reml_scan(yt, Ft[None, :, :], s_j)
+    theta = np.asarray(theta[0], dtype=np.float64)
+    d = jnp.asarray(theta[1] * s + theta[0], jnp.float32)
+    inv_d = 1.0 / d
+    Gt = jnp.asarray(U.T @ G, jnp.float32)
+
+    # GLS per marker with X = [1, PC1, g]; all cross-products are GEMMs.
+    @jax.jit
+    def _scan(Gt, Ft, yt, inv_d):
+        FtVF = jnp.einsum("nk,n,nm->km", Ft, inv_d, Ft)
+        FtVy = jnp.einsum("nk,n,n->k", Ft, inv_d, yt)
+        FtVg = jnp.einsum("nk,n,np->kp", Ft, inv_d, Gt)
+        gtVg = jnp.einsum("np,n,np->p", Gt, inv_d, Gt)
+        gtVy = jnp.einsum("np,n,n->p", Gt, inv_d, yt)
+
+        def per_marker(fvg, gvg, gvy):
+            A = jnp.zeros((3, 3))
+            A = A.at[:2, :2].set(FtVF)
+            A = A.at[:2, 2].set(fvg)
+            A = A.at[2, :2].set(fvg)
+            A = A.at[2, 2].set(gvg)
+            rhs = jnp.concatenate([FtVy, gvy[None]])
+            cov = jnp.linalg.pinv(A)
+            b = cov @ rhs
+            return b[2] / jnp.sqrt(jnp.maximum(cov[2, 2], 1e-30))
+
+        return jax.vmap(per_marker)(FtVg.T, gtVg, gtVy)
+
+    fit.b_hat = np.asarray(_scan(Gt, Ft, yt, inv_d), dtype=np.float64)
+    fit.extras = {"sigma2_e": float(theta[0]), "sigma2_u": float(theta[1])}
+    if not fit.checkdims():
+        raise RuntimeError("error performing GWAS via LMM")
+    return fit

@@ -1,0 +1,100 @@
+"""Design-matrix extraction and genomic prediction.
+
+Mirrors reference src/prediction.jl: `extractxyetc` (:53-139) and `predict`
+(:189-235), with integer-index fast paths replacing the reference's per-call
+string lookups.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .core.structs import Fit, Genomes, Phenomes
+
+__all__ = ["extractxyetc", "predict", "LINEAR_MODELS"]
+
+LINEAR_MODELS = ("ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc", "bayesian_ridge", "bayesian_lasso")
+
+
+def _check_idx(idx, upper: int, what: str) -> np.ndarray:
+    idx = np.asarray(idx, dtype=np.int64)
+    if len(idx) and (idx.min() < 0 or idx.max() >= upper):
+        raise IndexError(
+            f"the indexes of the {what} are out of bounds: expected range 0..{upper - 1}, "
+            f"got {idx.min()}..{idx.max()}"
+        )
+    return idx
+
+
+def extractxyetc(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    idx_trait: int = 0,
+    add_intercept: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Extract (X, y, entries, populations, loci_alleles) for one trait.
+
+    Drops entries with missing/NaN/Inf phenotypes, requires >= 2 survivors and
+    trait variance >= 1e-20 (reference src/prediction.jl:114-127). Indices are
+    0-based (the reference is 1-based Julia).
+    """
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    if not phenomes.checkdims():
+        raise ValueError("the Phenomes struct is corrupted")
+    if not np.array_equal(genomes.entries, phenomes.entries):
+        raise ValueError("genomes and phenomes must be merged to have consistent entries")
+    idx_e = np.arange(genomes.n) if idx_entries is None else _check_idx(idx_entries, genomes.n, "entries")
+    idx_l = (
+        np.arange(genomes.p)
+        if idx_loci_alleles is None
+        else _check_idx(idx_loci_alleles, genomes.p, "loci_alleles")
+    )
+    if not (0 <= idx_trait < phenomes.t):
+        raise IndexError(f"idx_trait {idx_trait} out of bounds for {phenomes.t} traits")
+
+    phi = phenomes.phenotypes[idx_e, idx_trait]
+    keep = np.flatnonzero(np.isfinite(phi))
+    if len(keep) < 2:
+        raise ValueError("fewer than 2 entries with non-missing phenotype data")
+    y = phi[keep]
+    if np.var(y, ddof=1) < 1e-20:
+        raise ValueError(f"very low or zero variance in trait: {phenomes.traits[idx_trait]!r}")
+    rows = idx_e[keep]
+    G = genomes.allele_frequencies[np.ix_(rows, idx_l)]
+    entries = genomes.entries[rows]
+    populations = genomes.populations[rows]
+    loci_alleles = genomes.loci_alleles[idx_l]
+    if add_intercept:
+        X = np.concatenate([np.ones((len(keep), 1)), G], axis=1)
+    else:
+        X = G
+    return X, y, entries, populations, loci_alleles
+
+
+def predict(fit: Fit, genomes: Genomes, idx_entries: Sequence[int]) -> np.ndarray:
+    """ŷ = b₀ + X[idx, model-loci] · b (reference src/prediction.jl:225-228)."""
+    if not fit.checkdims():
+        raise ValueError("the Fit struct is corrupted")
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    idx_e = _check_idx(idx_entries, genomes.n, "entries")
+    try:
+        idx_l = genomes.locus_indices(fit.b_hat_labels[1:].tolist())
+    except KeyError:
+        raise ValueError(
+            "the loci-alleles in the fitted model do not match the loci-alleles in the "
+            "requested validation set; the genomes struct may have more loci-alleles than "
+            "the fitted model, but all model loci-alleles must be present"
+        ) from None
+    if fit.model in LINEAR_MODELS:
+        from .ops.linalg import affine_predict
+
+        return affine_predict(
+            genomes.allele_frequencies, idx_e, idx_l, float(fit.b_hat[0]), fit.b_hat[1:]
+        )
+    raise ValueError(f"unrecognised genomic prediction model: {fit.model!r}")

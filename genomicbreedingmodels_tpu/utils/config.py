@@ -1,0 +1,54 @@
+"""Framework configuration (the reference has none — pure kwargs everywhere,
+SURVEY §5). A single dataclass with env-var overrides so production runs can
+be tuned without code changes."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class GBMConfig:
+    # numerics
+    compute_dtype: str = "float32"  # device compute dtype for model solves
+    gram_block_cols: int = 262_144  # GRM column-block streaming width
+    # MCMC
+    mcmc_block_size: int = 256
+    mcmc_n_iter: int = 1_500
+    mcmc_n_burnin: int = 500
+    # λ paths
+    n_lambda: int = 100
+    lambda_min_ratio: float = 0.01
+    path_cv_folds: int = 10
+    # CV harness
+    cv_workers: int = 1
+    # REML
+    reml_grid: int = 16
+    reml_newton: int = 10
+
+    @classmethod
+    def from_env(cls) -> "GBMConfig":
+        """Override any field via GBM_<UPPER_NAME> environment variables."""
+        kwargs = {}
+        for f in fields(cls):
+            env = os.environ.get(f"GBM_{f.name.upper()}")
+            if env is not None:
+                typ = type(f.default)
+                kwargs[f.name] = typ(env)
+        return cls(**kwargs)
+
+
+_config: GBMConfig | None = None
+
+
+def get_config() -> GBMConfig:
+    global _config
+    if _config is None:
+        _config = GBMConfig.from_env()
+    return _config
+
+
+def set_config(cfg: GBMConfig) -> None:
+    global _config
+    _config = cfg

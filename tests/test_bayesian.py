@@ -1,0 +1,90 @@
+"""Bayesian alphabet: native blocked Gibbs samplers (replaces R/BGLR,
+reference src/bayes.jl + src/linear.jl:440-626)."""
+
+import numpy as np
+import pytest
+
+import genomicbreedingmodels_tpu as gbm
+from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
+
+
+@pytest.fixture(scope="module")
+def strong_additive():
+    genomes = gbm.simulate_genomes(n=100, l=300, seed=42)
+    trials, effects = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.0, 0.0]]), seed=42
+    )
+    phenomes = gbm.extract_phenomes(trials)
+    return genomes, phenomes, effects
+
+
+@pytest.mark.parametrize("model_fn,name", [
+    (gbm.bayesa, "bayesa"),
+    (gbm.bayesb, "bayesb"),
+    (gbm.bayesc, "bayesc"),
+])
+def test_bayes_alphabet_fits(strong_additive, model_fn, name):
+    genomes, phenomes, _ = strong_additive
+    fit = model_fn(genomes=genomes, phenomes=phenomes, n_iter=500, n_burnin=150)
+    assert fit.model == name
+    assert fit.b_hat_labels[0] == "intercept"
+    assert len(fit.b_hat) == genomes.p + 1
+    # reference doctest threshold (src/linear.jl:436 etc.)
+    assert fit.metrics["cor"] > 0.50
+
+
+def test_bayesian_ridge_and_lasso(strong_additive):
+    genomes, phenomes, _ = strong_additive
+    for fn, name in [(gbm.bayesian_ridge, "bayesian_ridge"), (gbm.bayesian_lasso, "bayesian_lasso")]:
+        fit = fn(genomes=genomes, phenomes=phenomes, n_iter=400, n_burnin=120)
+        assert fit.model == name
+        assert fit.metrics["cor"] > 0.50
+
+
+def test_gibbs_recovers_genetic_signal(strong_additive):
+    genomes, phenomes, effects = strong_additive
+    X = genomes.allele_frequencies
+    y = phenomes.phenotypes[:, 0]
+    mu, b, _ = gibbs_regression(X, y, model="BayesA", n_iter=600, n_burnin=200, seed=3)
+    gebv = X @ b
+    r = np.corrcoef(effects[0].genetic_values, gebv)[0, 1]
+    assert r > 0.5
+
+
+def test_gibbs_blocked_equals_unblocked_distribution(strong_additive):
+    """Block size must not change the stationary distribution: posterior means
+    from different block sizes agree to MCMC noise."""
+    genomes, phenomes, _ = strong_additive
+    X = genomes.allele_frequencies[:, :128]
+    y = phenomes.phenotypes[:, 0]
+    mu1, b1, _ = gibbs_regression(X, y, model="BRR", n_iter=1500, n_burnin=500, seed=11, block_size=16)
+    mu2, b2, _ = gibbs_regression(X, y, model="BRR", n_iter=1500, n_burnin=500, seed=12, block_size=128)
+    yp1, yp2 = mu1 + X @ b1, mu2 + X @ b2
+    assert np.corrcoef(yp1, yp2)[0, 1] > 0.98
+
+
+def test_gibbs_multichain(strong_additive):
+    genomes, phenomes, _ = strong_additive
+    X = genomes.allele_frequencies[:, :64]
+    y = phenomes.phenotypes[:, 0]
+    mu, b, _ = gibbs_regression(X, y, model="BayesC", n_iter=200, n_burnin=80, seed=5, n_chains=2)
+    assert np.isfinite(mu)
+    assert b.shape == (64,)
+
+
+def test_sigma_trace_is_positive(strong_additive):
+    genomes, phenomes, _ = strong_additive
+    X = genomes.allele_frequencies[:, :64]
+    y = phenomes.phenotypes[:, 0]
+    _, _, diag = gibbs_regression(X, y, model="BayesA", n_iter=100, n_burnin=50, seed=5)
+    tr = diag["sigma_e2_trace"]
+    assert np.all(tr > 0)
+    assert np.all(np.isfinite(tr))
+
+
+def test_bayesian_rejects_unknown(strong_additive):
+    genomes, phenomes, _ = strong_additive
+    with pytest.raises(ValueError):
+        gibbs_regression(genomes.allele_frequencies, phenomes.phenotypes[:, 0], model="BayesZ")
+    with pytest.raises(NotImplementedError):
+        gbm.bayesian("BayesA", genomes=genomes, phenomes=phenomes, response_type="ordinal")

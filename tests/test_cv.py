@@ -1,0 +1,123 @@
+"""Cross-validation harness (reference src/cross_validation.jl doctests)."""
+
+import numpy as np
+import pytest
+
+import genomicbreedingmodels_tpu as gbm
+
+
+def test_validate_and_leakage(sim_small):
+    genomes, phenomes, _ = sim_small
+    fit = gbm.ridge(genomes=genomes, phenomes=phenomes, idx_entries=list(range(90)))
+    cv = gbm.validate(fit, genomes, phenomes, idx_validation=list(range(90, 100)))
+    assert cv.checkdims()
+    assert len(cv.y_pred) == 10
+    # leakage detection (reference :63-70)
+    with pytest.raises(ValueError):
+        gbm.validate(fit, genomes, phenomes, idx_validation=list(range(85, 95)))
+
+
+def test_cvbulk_selfconsistency(sim_small):
+    genomes, phenomes, _ = sim_small
+    cvs, notes = gbm.cvbulk(
+        genomes=genomes, phenomes=phenomes, models=["ols", "ridge"],
+        n_replications=2, n_folds=2, seed=42,
+    )
+    assert len(cvs) > 0
+    df_across, df_per = gbm.tabularise(cvs)
+    # across-entry cor equals per-entry recomputed cor (reference :259-264)
+    sel = (
+        (df_across.trait == "trait_1")
+        & (df_across.model == "ridge")
+        & (df_across.replication == "replication_1")
+        & (df_across.fold == "fold_1")
+    )
+    sel_p = (
+        (df_per.trait == "trait_1")
+        & (df_per.model == "ridge")
+        & (df_per.replication == "replication_1")
+        & (df_per.fold == "fold_1")
+    )
+    if sel.sum() > 0:
+        cor_across = df_across.loc[sel, "cor"].iloc[0]
+        sub = df_per.loc[sel_p]
+        cor_manual = np.corrcoef(sub.y_true, sub.y_pred)[0, 1]
+        assert abs(cor_across - cor_manual) < 1e-5
+
+
+def test_cvbulk_argument_validation(sim_small):
+    genomes, phenomes, _ = sim_small
+    with pytest.raises(ValueError):
+        gbm.cvbulk(genomes=genomes, phenomes=phenomes, models=[])
+    with pytest.raises(ValueError):
+        gbm.cvbulk(genomes=genomes, phenomes=phenomes, models=["nope"])
+    with pytest.raises(ValueError):
+        gbm.cvbulk(genomes=genomes, phenomes=phenomes, n_folds=0)
+    with pytest.raises(ValueError):
+        gbm.cvbulk(genomes=genomes, phenomes=phenomes, n_replications=0)
+
+
+def test_cvbulk_notes_on_missing(sim_small):
+    genomes, phenomes, _ = sim_small
+    ph = gbm.clone(phenomes)
+    ph.phenotypes[:, 0] = np.nan
+    ph.phenotypes[0, 0] = 1.0  # only one finite value -> every fold skipped
+    cvs, notes = gbm.cvbulk(genomes=genomes, phenomes=ph, models=["ols"], n_replications=1, n_folds=2)
+    assert len(cvs) == 0
+    assert all(n.startswith("too_many_missing") for n in notes)
+
+
+def test_cvperpopulation(sim_multipop):
+    genomes, phenomes, _ = sim_multipop
+    cvs, notes = gbm.cvperpopulation(
+        genomes=genomes, phenomes=phenomes, models=["ridge"],
+        n_replications=1, n_folds=2, seed=1,
+    )
+    df_across, _ = gbm.tabularise(cvs)
+    assert sorted(df_across.training_population.unique()) == ["pop_1", "pop_2", "pop_3"]
+    assert (df_across.training_population == df_across.validation_population).all()
+
+
+def test_cvpairwisepopulation(sim_multipop):
+    genomes, phenomes, _ = sim_multipop
+    cvs, notes = gbm.cvpairwisepopulation(genomes=genomes, phenomes=phenomes, models=["ridge"])
+    df_across, _ = gbm.tabularise(cvs)
+    assert (df_across.training_population != df_across.validation_population).all()
+    # 3 pops -> 6 ordered pairs per trait per model
+    assert len(df_across) == 6 * len(phenomes.traits)
+
+
+def test_cvleaveonepopulationout(sim_multipop):
+    genomes, phenomes, _ = sim_multipop
+    cvs, notes = gbm.cvleaveonepopulationout(genomes=genomes, phenomes=phenomes, models=["ridge"])
+    df_across, _ = gbm.tabularise(cvs)
+    for _, row in df_across.iterrows():
+        assert row.validation_population not in row.training_population.split(";")
+    assert len(df_across) == 3 * len(phenomes.traits)
+
+
+def test_summarise(sim_multipop):
+    genomes, phenomes, _ = sim_multipop
+    cvs, _ = gbm.cvperpopulation(
+        genomes=genomes, phenomes=phenomes, models=["ridge"], n_replications=1, n_folds=2, seed=1
+    )
+    summary_across, summary_per = gbm.summarise(cvs)
+    assert {"cor_mean", "cor_std", "n_jobs"}.issubset(summary_across.columns)
+    assert len(summary_per) > 0
+
+
+def test_cvdispatch_continues_on_failure(sim_small):
+    genomes, phenomes, _ = sim_small
+
+    def broken_model(**kwargs):
+        raise RuntimeError("boom")
+
+    jobs = [
+        dict(model=broken_model, idx_trait=0, idx_training=np.arange(50),
+             idx_validation=np.arange(50, 60), replication="r", fold="f"),
+        dict(model="ols", idx_trait=0, idx_training=np.arange(50),
+             idx_validation=np.arange(50, 60), replication="r", fold="f"),
+    ]
+    with pytest.warns(UserWarning):
+        cvs = gbm.cvdispatch(jobs, genomes, phenomes)
+    assert len(cvs) == 1

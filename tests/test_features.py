@@ -1,0 +1,115 @@
+"""Epistasis feature engineering (reference src/transformation.jl doctests)."""
+
+import numpy as np
+import pytest
+
+import genomicbreedingmodels_tpu as gbm
+from genomicbreedingmodels_tpu.features.transform import parse_feature_name
+
+
+def test_endofunctions_stay_in_unit_interval():
+    x = np.linspace(0, 1, 101)
+    y = np.linspace(0, 1, 101)[::-1]
+    eps = np.finfo(np.float64).eps
+    for f in (gbm.square, gbm.invoneplus, gbm.log10epsdivlog10eps):
+        out = f(x)
+        # values within machine-eps of 0/1 are snapped in the pipeline
+        assert np.all((out >= -eps) & (out <= 1 + eps)), f.__name__
+    for f in (gbm.mult, gbm.addnorm, gbm.raise_):
+        out = f(x, y)
+        assert np.all((out >= 0) & (out <= 1 + 1e-12)), f.__name__
+
+
+def test_transform1_values_and_names(sim_small):
+    genomes, phenomes, _ = sim_small
+    out = gbm.transform1(gbm.square, genomes, phenomes, n_new_features_per_transformation=50)
+    assert 0 < out.p <= 50
+    assert out.checkdims()
+    # first feature name decodes to a real locus; values = square(locus + eps)
+    name = str(out.loci_alleles[0])
+    assert name.startswith("square(") and name.endswith(")")
+    inner = name[len("square("):-1]
+    j = genomes.locus_indices([inner])[0]
+    expected = (genomes.allele_frequencies[:, j] + np.finfo(np.float64).eps) ** 2
+    assert np.allclose(out.allele_frequencies[:, 0], expected, atol=1e-12)
+
+
+def test_transform1_ranks_by_effect(sim_small):
+    genomes, phenomes, _ = sim_small
+    out = gbm.transform1(gbm.square, genomes, phenomes, n_new_features_per_transformation=20)
+    # recompute slopes for the selected features; should be in decreasing |beta|
+    y = phenomes.phenotypes[:, 0]
+    betas = []
+    for j in range(out.p):
+        t = out.allele_frequencies[:, j]
+        tm = t - t.mean()
+        betas.append(abs(np.dot(tm, y - y.mean()) / np.dot(tm, tm)))
+    assert all(betas[i] >= betas[i + 1] - 1e-9 for i in range(len(betas) - 1))
+
+
+def test_transform2_values_and_names(sim_small):
+    genomes, phenomes, _ = sim_small
+    sub = genomes.slice(idx_loci_alleles=np.arange(60))
+    out = gbm.transform2(gbm.mult, sub, phenomes, n_new_features_per_transformation=30)
+    assert 0 < out.p <= 30
+    name = str(out.loci_alleles[0])
+    inner = name[len("mult("):-1]
+    # split at top-level comma: loci contain tabs but no commas/parens
+    a, b = inner.split(",")
+    ja = sub.locus_indices([a])[0]
+    jb = sub.locus_indices([b])[0]
+    eps = np.finfo(np.float64).eps
+    expected = (sub.allele_frequencies[:, ja] + eps) * (sub.allele_frequencies[:, jb] + eps)
+    assert np.allclose(out.allele_frequencies[:, 0], expected, atol=1e-12)
+
+
+def test_transform2_commutative_skips_lower_triangle(sim_small):
+    genomes, phenomes, _ = sim_small
+    sub = genomes.slice(idx_loci_alleles=np.arange(30))
+    out = gbm.transform2(gbm.addnorm, sub, phenomes, commutative=True,
+                         n_new_features_per_transformation=100)
+    for name in out.loci_alleles.tolist():
+        inner = name[len("addnorm("):-1]
+        a, b = inner.split(",")
+        ja = sub.locus_indices([a])[0]
+        jb = sub.locus_indices([b])[0]
+        assert ja <= jb
+
+
+def test_epistasisfeatures_and_reconstitute_roundtrip(sim_small):
+    genomes, phenomes, _ = sim_small
+    sub = genomes.slice(idx_loci_alleles=np.arange(80))
+    grown = gbm.epistasisfeatures(
+        sub, phenomes, n_new_features_per_transformation=10, n_reps=2,
+    )
+    assert grown.p > sub.p
+    assert np.all(grown.allele_frequencies >= 0)
+    assert np.all(grown.allele_frequencies <= 1 + 1e-12)
+    # round-trip: rebuild engineered features from their names on the BASE panel
+    new_names = grown.loci_alleles[sub.p:]
+    rebuilt = gbm.reconstitutefeatures(sub, feature_names=new_names.tolist())
+    assert np.allclose(
+        rebuilt.allele_frequencies, grown.allele_frequencies[:, sub.p:], atol=1e-10
+    )
+
+
+def test_parse_feature_name_nested():
+    tree = parse_feature_name("mult(square(chr_1\t5\tA|T\tA),addnorm(x,y))")
+    assert tree[0] == "mult"
+    assert tree[1][0] == ("square", ["chr_1\t5\tA|T\tA"])
+    assert tree[1][1] == ("addnorm", ["x", "y"])
+
+
+def test_epistasis_improves_cv_accuracy(sim_small):
+    """Epistasis features should not hurt mean CV accuracy (reference
+    src/transformation.jl:536-537 asserts strict improvement)."""
+    genomes, phenomes, _ = sim_small
+    sub = genomes.slice(idx_loci_alleles=np.arange(100))
+    grown = gbm.epistasisfeatures(sub, phenomes, n_new_features_per_transformation=30, n_reps=1)
+    cvs_plain, _ = gbm.cvbulk(genomes=sub, phenomes=phenomes, models=["ridge"],
+                              n_replications=1, n_folds=2, seed=0)
+    cvs_epi, _ = gbm.cvbulk(genomes=grown, phenomes=phenomes, models=["ridge"],
+                            n_replications=1, n_folds=2, seed=0)
+    cor_plain = np.mean([c.metrics["cor"] for c in cvs_plain])
+    cor_epi = np.mean([c.metrics["cor"] for c in cvs_epi])
+    assert cor_epi > cor_plain - 0.1

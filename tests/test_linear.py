@@ -1,0 +1,130 @@
+"""Linear model zoo: OLS, ridge, LASSO (reference src/linear.jl doctests)."""
+
+import numpy as np
+import pytest
+
+import genomicbreedingmodels_tpu as gbm
+from genomicbreedingmodels_tpu.ops import linalg
+from genomicbreedingmodels_tpu.prediction import extractxyetc, predict
+
+
+def test_extractxyetc_contract(sim_small):
+    genomes, phenomes, _ = sim_small
+    X, y, entries, pops, loci = extractxyetc(genomes, phenomes)
+    assert np.allclose(X[:, 0], 1.0)
+    assert np.allclose(X[:, 1:], genomes.allele_frequencies)
+    assert np.allclose(y, phenomes.phenotypes[:, 0])
+    X2, *_ = extractxyetc(genomes, phenomes, add_intercept=False)
+    assert X2.shape == genomes.allele_frequencies.shape
+
+
+def test_extractxyetc_drops_nan(sim_small):
+    genomes, phenomes, _ = sim_small
+    ph = gbm.clone(phenomes)
+    ph.phenotypes[3, 0] = np.nan
+    ph.phenotypes[7, 0] = np.inf
+    X, y, entries, *_ = extractxyetc(genomes, ph)
+    assert len(y) == genomes.n - 2
+    assert genomes.entries[3] not in entries
+
+
+def test_extractxyetc_validation_errors(sim_small):
+    genomes, phenomes, _ = sim_small
+    with pytest.raises(IndexError):
+        extractxyetc(genomes, phenomes, idx_entries=[genomes.n + 5])
+    with pytest.raises(IndexError):
+        extractxyetc(genomes, phenomes, idx_trait=99)
+    ph = gbm.clone(phenomes)
+    ph.phenotypes[:, 0] = 5.0
+    with pytest.raises(ValueError):
+        extractxyetc(genomes, ph)
+
+
+def test_ols_fit(sim_small):
+    genomes, phenomes, _ = sim_small
+    fit = gbm.ols(genomes=genomes, phenomes=phenomes)
+    assert fit.model == "ols"
+    assert fit.b_hat_labels[0] == "intercept"
+    assert len(fit.b_hat) == genomes.p + 1
+    # in-sample accuracy threshold as in reference doctest (src/linear.jl:50)
+    assert fit.metrics["cor"] > 0.50
+
+
+def test_ridge_fit_and_holdout(sim_small):
+    genomes, phenomes, _ = sim_small
+    fit = gbm.ridge(genomes=genomes, phenomes=phenomes, idx_entries=list(range(90)))
+    assert fit.model == "ridge"
+    assert fit.metrics["cor"] > 0.50
+    y_hat = predict(fit, genomes, idx_entries=list(range(90, 100)))
+    r = np.corrcoef(phenomes.phenotypes[90:, 0], y_hat)[0, 1]
+    assert r > 0.2  # out-of-sample signal present
+
+
+def test_lasso_fit(sim_small):
+    genomes, phenomes, _ = sim_small
+    fit = gbm.lasso(genomes=genomes, phenomes=phenomes)
+    assert fit.model == "lasso"
+    assert fit.metrics["cor"] > 0.50
+    # LASSO should be sparse relative to ridge
+    nz = np.mean(np.abs(fit.b_hat[1:]) > 1e-8)
+    assert nz < 0.9
+
+
+def test_ridge_matches_closed_form_small():
+    """Dual-path ridge == primal closed form on a small dense problem."""
+    rng = np.random.default_rng(5)
+    n, p = 40, 15
+    X = rng.normal(size=(n, p))
+    beta_true = rng.normal(size=p)
+    y = X @ beta_true + rng.normal(scale=0.1, size=n)
+    lam = 0.3
+    from genomicbreedingmodels_tpu.ops.linalg import _ridge_full_beta
+    import jax.numpy as jnp
+
+    b0, beta = _ridge_full_beta(jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32), jnp.float32(lam))
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    beta_ref = np.linalg.solve(Xc.T @ Xc + n * lam * np.eye(p), Xc.T @ yc)
+    assert np.allclose(np.asarray(beta), beta_ref, atol=5e-3, rtol=1e-3)
+
+
+def test_lasso_fista_matches_sklearn_style_solution():
+    """FISTA solution satisfies the LASSO KKT conditions."""
+    rng = np.random.default_rng(6)
+    n, p = 60, 30
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] * 2.0 - X[:, 3] + rng.normal(scale=0.1, size=n)
+    lam = 0.1
+    import jax.numpy as jnp
+    from genomicbreedingmodels_tpu.ops.linalg import _lasso_fista_batch, _power_iter_lmax
+
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    Z = jnp.asarray(Xc, jnp.float32)
+    step = 1.0 / (_power_iter_lmax(Z) / n)
+    B = _lasso_fista_batch(Z, jnp.asarray(yc, jnp.float32), jnp.ones(n, jnp.float32),
+                           jnp.asarray([lam], jnp.float32), step, 2000)
+    b = np.asarray(B[:, 0], dtype=np.float64)
+    grad = Xc.T @ (Xc @ b - yc) / n
+    # KKT: |grad| <= lam (+tol); active coords have grad = -lam*sign(b)
+    assert np.all(np.abs(grad) <= lam + 1e-3)
+    active = np.abs(b) > 1e-6
+    assert np.allclose(grad[active], -lam * np.sign(b[active]), atol=1e-3)
+
+
+def test_predict_errors_on_unknown_model(sim_small):
+    genomes, phenomes, _ = sim_small
+    fit = gbm.ols(genomes=genomes, phenomes=phenomes)
+    fit.model = "whatever"
+    with pytest.raises(ValueError):
+        predict(fit, genomes, idx_entries=[0, 1])
+
+
+def test_lambda_grid_shape(sim_small):
+    genomes, phenomes, _ = sim_small
+    X = genomes.allele_frequencies
+    y = phenomes.phenotypes[:, 0]
+    grid = linalg.make_lambda_grid(X, y, n_lambda=100, lambda_min_ratio=0.01)
+    assert len(grid) == 100
+    assert grid[0] > grid[-1]
+    assert np.isclose(grid[-1] / grid[0], 0.01, rtol=1e-6)
