@@ -41,6 +41,7 @@ from .models.bayesian import (
     gibbs_regression,
 )
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
+from .models.gblup import gblup, reml_variance_components
 from .features.endofunctions import (
     addnorm,
     invoneplus,
@@ -97,6 +98,8 @@ __all__ = [
     "bayesian_ridge",
     "bayesian_lasso",
     "gibbs_regression",
+    "gblup",
+    "reml_variance_components",
     "gwasprep",
     "gwasols",
     "gwaslmm",

@@ -28,6 +28,7 @@ from ..ops.metrics import metrics
 from ..prediction import predict
 from ..models.linear import lasso, ols, ridge
 from ..models.bayesian import bayesa, bayesb, bayesc, bayesian_lasso, bayesian_ridge
+from ..models.gblup import gblup
 
 __all__ = [
     "MODEL_REGISTRY",
@@ -49,6 +50,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., Fit]] = {
     "bayesc": bayesc,
     "bayesian_ridge": bayesian_ridge,
     "bayesian_lasso": bayesian_lasso,
+    "gblup": gblup,
 }
 
 ModelSpec = Union[str, Callable[..., Fit]]

@@ -15,7 +15,10 @@ from .core.structs import Fit, Genomes, Phenomes
 
 __all__ = ["extractxyetc", "predict", "LINEAR_MODELS"]
 
-LINEAR_MODELS = ("ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc", "bayesian_ridge", "bayesian_lasso")
+LINEAR_MODELS = (
+    "ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc",
+    "bayesian_ridge", "bayesian_lasso", "gblup",
+)
 
 
 def _check_idx(idx, upper: int, what: str) -> np.ndarray:
