@@ -33,15 +33,24 @@ def simulate_genomes(
     n_chroms: int = 7,
     seed: int = 42,
     sparsity: float = 0.0,
+    n_founders: int = 8,
 ) -> Genomes:
     """Simulate an (n x p) allele-frequency panel, p = l * (n_alleles - 1).
 
-    Population structure: per-locus ancestral frequency ~ Beta(2, 2); each
-    population drifts around it; entry frequencies are Beta-distributed around
-    the population mean so within-population genetic variance is non-trivial.
+    Population + family structure (the properties genomic prediction relies
+    on, mirroring what the reference's external simulator provides for its
+    doctests): per-locus ancestral allele distribution ~ Dirichlet; each
+    population drifts around it; each population carries `n_founders` founder
+    frequency profiles, and every entry is a sparse Dirichlet **mixture of
+    founders** plus individual sampling noise. Shared founder ancestry gives
+    entries non-trivial kinship (so GRM/GBLUP have signal to exploit) and
+    induces LD between loci; per-locus allele frequencies respect the simplex
+    (columns of one locus sum to <= 1).
     """
     if n < 2 or l < 1 or n_alleles < 2:
         raise ValueError("need n >= 2, l >= 1, n_alleles >= 2")
+    if n_founders < 2:
+        raise ValueError("need n_founders >= 2")
     rng = np.random.default_rng(seed)
     p = l * (n_alleles - 1)
 
@@ -68,15 +77,46 @@ def simulate_genomes(
         [np.full(sz, f"pop_{i + 1}", dtype=object) for i, sz in enumerate(pop_sizes)]
     )
 
-    # Allele frequencies.
-    ancestral = rng.beta(2.0, 2.0, size=p)
+    # Allele frequencies: ancestral Dirichlet -> population drift -> founder
+    # profiles -> entries as founder mixtures (+ light individual noise).
+    def _dirichlet_rows(conc: np.ndarray, size: Optional[tuple] = None) -> np.ndarray:
+        """Sample Dirichlet variates along the last axis via normalized gammas.
+
+        `size` broadcasts the concentration to that shape first (np.random's
+        gamma draws exactly conc.shape variates otherwise — a silent collapse
+        when the leading axis is 1).
+        """
+        conc = np.maximum(conc, 1e-3)
+        if size is not None:
+            conc = np.broadcast_to(conc, size)
+        g = rng.gamma(conc)
+        return g / np.maximum(g.sum(axis=-1, keepdims=True), 1e-30)
+
+    ancestral = _dirichlet_rows(np.full((l, n_alleles), 2.0))  # (l, a)
+    nu_pop = 30.0  # population drift concentration (tighter = less drift)
+    nu_founder = 6.0  # founder spread around the population profile
+    nu_entry = 50.0  # individual sampling noise around the founder mixture
     freqs = np.empty((n, p), dtype=np.float64)
     row = 0
     for i, sz in enumerate(pop_sizes):
-        drift = rng.normal(0.0, 0.1 * min(1, n_populations - 1) + 0.0, size=p)
-        pop_mean = np.clip(ancestral + drift, 0.02, 0.98)
-        nu = 8.0  # concentration: within-population variance = m(1-m)/(nu+1)
-        freqs[row : row + sz] = rng.beta(pop_mean * nu, (1.0 - pop_mean) * nu, size=(sz, p))
+        if n_populations > 1:
+            pop_profile = _dirichlet_rows(ancestral * nu_pop)
+        else:
+            pop_profile = ancestral
+        founders = _dirichlet_rows(
+            pop_profile[None, :, :] * nu_founder, size=(n_founders, l, n_alleles)
+        )  # (k, l, a)
+        # Two-parent crosses: each entry mixes a dam and a sire founder, so
+        # entries sharing a parent form half-/full-sib families.
+        dam = rng.integers(0, n_founders, size=sz)
+        sire = (dam + 1 + rng.integers(0, n_founders - 1, size=sz)) % n_founders
+        u = rng.beta(3.0, 3.0, size=sz)
+        weights = np.zeros((sz, n_founders))
+        np.add.at(weights, (np.arange(sz), dam), u)
+        np.add.at(weights, (np.arange(sz), sire), 1.0 - u)
+        latent = np.einsum("ik,kla->ila", weights, founders)  # (sz, l, a)
+        entry_freq = _dirichlet_rows(latent * nu_entry)
+        freqs[row : row + sz] = entry_freq[:, :, : n_alleles - 1].reshape(sz, p)
         row += sz
     if sparsity > 0:
         miss = rng.random((n, p)) < sparsity

@@ -286,7 +286,10 @@ def _eval_tree(tree, genomes: Genomes, cache: dict) -> np.ndarray:
     vals = [_eval_tree(c, genomes, cache) for c in children]
     # Reapply the ε shift the transforms applied to their inputs.
     vals = [v + _EPS for v in vals]
-    out = np.asarray(f(*vals), dtype=np.float64)
+    # Snap to {0, 1} exactly as the stored column was at construction time
+    # (transform1/2 snap before the column is reused by later rounds), so the
+    # round-trip is bit-exact.
+    out = _snap(np.asarray(f(*vals), dtype=np.float64), _EPS)
     cache[key] = out
     return out
 
@@ -303,10 +306,11 @@ def reconstitutefeatures(
     n = genomes.n
     cols = np.zeros((n, len(feature_names)))
     cache: dict = {}
+    # Snapping happens inside _eval_tree (function outputs only): raw locus
+    # columns pass through untouched, exactly as epistasisfeatures leaves them.
     for j, name in enumerate(feature_names):
         tree = parse_feature_name(str(name))
         cols[:, j] = _eval_tree(tree, genomes, cache)
-    cols = _snap(cols, _EPS)
     out = Genomes(
         entries=genomes.entries,
         populations=genomes.populations,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step"]
 
@@ -42,7 +42,7 @@ def sharded_grm(X, mesh: Mesh) -> jnp.ndarray:
         return jax.lax.psum(Gl, axis_name="mp")
 
     fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(None, "mp"),), out_specs=P(), check_rep=False
+        kernel, mesh=mesh, in_specs=(P(None, "mp"),), out_specs=P()
     )
     return jax.jit(fn)(X)
 
@@ -71,7 +71,7 @@ def sharded_ridge_step(X, y, lam: float, mesh: Mesh) -> Tuple[jnp.ndarray, jnp.n
         mesh=mesh,
         in_specs=(P(None, "mp"), P()),
         out_specs=(P(), P("mp")),
-        check_rep=False,
+        
     )
     return jax.jit(fn)(X, jnp.asarray(y, jnp.float32))
 
@@ -95,7 +95,7 @@ def gblup_train_step(X, y, lam: float, mesh: Mesh) -> jnp.ndarray:
         return gebv
 
     fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(None, "mp"), P()), out_specs=P(), check_rep=False
+        kernel, mesh=mesh, in_specs=(P(None, "mp"), P()), out_specs=P()
     )
     return jax.jit(fn)(X, jnp.asarray(y, jnp.float32))
 
@@ -127,6 +127,6 @@ def multitrait_gblup_step(X, Y, lam: float, mesh: Mesh) -> jnp.ndarray:
         mesh=mesh,
         in_specs=(P(None, "mp"), P("dp", None)),
         out_specs=P("dp", None),
-        check_rep=False,
+        
     )
     return jax.jit(fn)(X, jnp.asarray(Y, jnp.float32))

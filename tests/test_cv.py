@@ -121,3 +121,34 @@ def test_cvdispatch_continues_on_failure(sim_small):
     with pytest.warns(UserWarning):
         cvs = gbm.cvdispatch(jobs, genomes, phenomes)
     assert len(cvs) == 1
+
+
+def test_cv_accuracy_on_structured_panel():
+    """Held-out accuracy on the founder-cross simulator (kinship + LD) clears
+    the reference's in-sample cor > 0.50 doctest bar (src/linear.jl:50-51) —
+    a stronger, out-of-sample version of the same contract."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes = gbm.simulate_genomes(n=100, l=800, seed=1)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.05, 0.05]]), seed=1
+    )
+    phenomes = gbm.extract_phenomes(trials)
+    for model in ("ridge", "gblup"):
+        cvs, _ = gbm.cvbulk(
+            genomes, phenomes, models=[model], n_replications=1, n_folds=3, seed=42
+        )
+        mean_cor = float(np.mean([cv.metrics["cor"] for cv in cvs]))
+        assert mean_cor > 0.5, (model, mean_cor)
+
+
+def test_simulated_kinship_structure():
+    """Founder-cross design yields non-trivial relatedness variation."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes = gbm.simulate_genomes(n=100, l=500, seed=3)
+    X = np.asarray(genomes.allele_frequencies)
+    Z = X - X.mean(axis=0)
+    K = Z @ Z.T / X.shape[1]
+    offdiag = K[~np.eye(len(K), dtype=bool)]
+    assert offdiag.std() / np.diag(K).mean() > 0.1
