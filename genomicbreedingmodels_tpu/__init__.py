@@ -42,6 +42,7 @@ from .models.bayesian import (
 )
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, reml_variance_components
+from .models.mlp import mlp
 from .features.endofunctions import (
     addnorm,
     invoneplus,
@@ -99,6 +100,7 @@ __all__ = [
     "bayesian_lasso",
     "gibbs_regression",
     "gblup",
+    "mlp",
     "reml_variance_components",
     "gwasprep",
     "gwasols",

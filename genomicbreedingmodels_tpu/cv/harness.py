@@ -29,6 +29,7 @@ from ..prediction import predict
 from ..models.linear import lasso, ols, ridge
 from ..models.bayesian import bayesa, bayesb, bayesc, bayesian_lasso, bayesian_ridge
 from ..models.gblup import gblup
+from ..models.mlp import mlp
 
 __all__ = [
     "MODEL_REGISTRY",
@@ -51,6 +52,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., Fit]] = {
     "bayesian_ridge": bayesian_ridge,
     "bayesian_lasso": bayesian_lasso,
     "gblup": gblup,
+    "mlp": mlp,
 }
 
 ModelSpec = Union[str, Callable[..., Fit]]

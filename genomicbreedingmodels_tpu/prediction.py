@@ -13,12 +13,13 @@ import numpy as np
 
 from .core.structs import Fit, Genomes, Phenomes
 
-__all__ = ["extractxyetc", "predict", "LINEAR_MODELS"]
+__all__ = ["extractxyetc", "predict", "LINEAR_MODELS", "NON_LINEAR_MODELS"]
 
 LINEAR_MODELS = (
     "ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc",
     "bayesian_ridge", "bayesian_lasso", "gblup",
 )
+NON_LINEAR_MODELS = ("mlp",)
 
 
 def _check_idx(idx, upper: int, what: str) -> np.ndarray:
@@ -100,4 +101,9 @@ def predict(fit: Fit, genomes: Genomes, idx_entries: Sequence[int]) -> np.ndarra
         return affine_predict(
             genomes.allele_frequencies, idx_e, idx_l, float(fit.b_hat[0]), fit.b_hat[1:]
         )
+    if fit.model in NON_LINEAR_MODELS:
+        from .models.mlp import mlp_predict_from_fit
+
+        G = genomes.allele_frequencies[np.ix_(idx_e, idx_l)]
+        return mlp_predict_from_fit(fit, G)
     raise ValueError(f"unrecognised genomic prediction model: {fit.model!r}")
