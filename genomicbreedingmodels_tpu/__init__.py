@@ -43,6 +43,14 @@ from .models.bayesian import (
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, reml_variance_components
 from .models.mlp import mlp
+from .io import (
+    read_bed,
+    read_genomes_tsv,
+    read_phenomes_tsv,
+    write_bed,
+    write_genomes_tsv,
+    write_phenomes_tsv,
+)
 from .features.endofunctions import (
     addnorm,
     invoneplus,
@@ -101,6 +109,12 @@ __all__ = [
     "gibbs_regression",
     "gblup",
     "mlp",
+    "read_bed",
+    "read_genomes_tsv",
+    "read_phenomes_tsv",
+    "write_bed",
+    "write_genomes_tsv",
+    "write_phenomes_tsv",
     "reml_variance_components",
     "gwasprep",
     "gwasols",

@@ -1,0 +1,247 @@
+// gbmio: native IO kernels for genomic panels.
+//
+// The reference ecosystem performs all file IO in (external) Julia core code
+// and exchanges matrices with its R/BGLR backend through temp TSV files
+// (reference src/bayes.jl:59-65, :94-99). This framework keeps file exchange
+// as a first-class, *fast* path instead: a multithreaded TSV numeric-block
+// parser (std::from_chars, no locale, no allocation per token) and a PLINK
+// .bed 2-bit codec, both exposed through a minimal C ABI for ctypes.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread gbmio.cpp -o libgbmio.so
+
+#include <atomic>
+#include <cerrno>
+#include <charconv>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Read an entire file into a buffer. Returns false on failure.
+bool read_file(const char* path, std::vector<char>& buf) {
+    std::FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    if (sz < 0) { std::fclose(f); return false; }
+    std::fseek(f, 0, SEEK_SET);
+    buf.resize(static_cast<size_t>(sz));
+    size_t got = sz ? std::fread(buf.data(), 1, static_cast<size_t>(sz), f) : 0;
+    std::fclose(f);
+    return got == static_cast<size_t>(sz);
+}
+
+// Index newline positions (start offsets of each line).
+void index_lines(const std::vector<char>& buf, std::vector<size_t>& starts) {
+    starts.clear();
+    starts.push_back(0);
+    for (size_t i = 0; i < buf.size(); ++i) {
+        if (buf[i] == '\n' && i + 1 < buf.size()) starts.push_back(i + 1);
+    }
+    // Drop a trailing empty line (file ends with '\n').
+    if (!starts.empty() && starts.back() >= buf.size()) starts.pop_back();
+}
+
+inline bool parse_double(const char* b, const char* e, double& out) {
+    // Skip leading spaces.
+    while (b < e && (*b == ' ' || *b == '\r')) ++b;
+    if (b >= e) return false;
+    // NaN / NA markers.
+    if ((e - b) >= 2 && (b[0] == 'N' || b[0] == 'n')) {
+        out = std::numeric_limits<double>::quiet_NaN();
+        return true;
+    }
+    auto res = std::from_chars(b, e, out);
+    return res.ec == std::errc();
+}
+
+int hw_threads(int requested) {
+    if (requested > 0) return requested;
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? static_cast<int>(hc) : 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Dimensions of the table at `path`: number of lines and number of
+// tab-separated fields on the first line. Returns 0 on success.
+int gbmio_tsv_dims(const char* path, long* n_rows, long* n_cols) {
+    std::vector<char> buf;
+    if (!read_file(path, buf)) return -1;
+    std::vector<size_t> starts;
+    index_lines(buf, starts);
+    *n_rows = static_cast<long>(starts.size());
+    long cols = 0;
+    if (!starts.empty()) {
+        size_t i = starts[0];
+        cols = 1;
+        while (i < buf.size() && buf[i] != '\n') {
+            if (buf[i] == '\t') ++cols;
+            ++i;
+        }
+    }
+    *n_cols = cols;
+    return 0;
+}
+
+// Parse the numeric block of a TSV table: rows [skip_rows, skip_rows+n_rows),
+// columns [skip_cols, skip_cols+n_cols) into out (row-major n_rows x n_cols).
+// Threads split the row range. Returns 0 on success, -1 on IO error, -2 on
+// shape mismatch, -3 on parse error (first bad row recorded in *bad_row).
+int gbmio_tsv_parse(const char* path, long skip_rows, long skip_cols,
+                    double* out, long n_rows, long n_cols, int n_threads,
+                    long* bad_row) {
+    std::vector<char> buf;
+    if (!read_file(path, buf)) return -1;
+    std::vector<size_t> starts;
+    index_lines(buf, starts);
+    if (static_cast<long>(starts.size()) < skip_rows + n_rows) return -2;
+    *bad_row = -1;
+
+    std::atomic<long> first_bad{-1};
+    int nt = hw_threads(n_threads);
+    long chunk = (n_rows + nt - 1) / nt;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long r0 = t * chunk;
+        long r1 = std::min(n_rows, r0 + chunk);
+        if (r0 >= r1) break;
+        threads.emplace_back([&, r0, r1]() {
+            for (long r = r0; r < r1; ++r) {
+                size_t i = starts[static_cast<size_t>(skip_rows + r)];
+                size_t end = (static_cast<size_t>(skip_rows + r + 1) < starts.size())
+                                 ? starts[static_cast<size_t>(skip_rows + r) + 1] - 1
+                                 : buf.size();
+                long col = 0, kept = 0;
+                size_t tok = i;
+                for (size_t j = i; j <= end; ++j) {
+                    if (j == end || buf[j] == '\t' || buf[j] == '\n') {
+                        if (col >= skip_cols && kept < n_cols) {
+                            double v;
+                            if (!parse_double(buf.data() + tok, buf.data() + j, v)) {
+                                long expect = -1;
+                                first_bad.compare_exchange_strong(expect, r);
+                                return;
+                            }
+                            out[r * n_cols + kept] = v;
+                            ++kept;
+                        }
+                        ++col;
+                        tok = j + 1;
+                    }
+                }
+                if (kept != n_cols) {
+                    long expect = -1;
+                    first_bad.compare_exchange_strong(expect, r);
+                    return;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    if (first_bad.load() >= 0) {
+        *bad_row = first_bad.load();
+        return -3;
+    }
+    return 0;
+}
+
+// Decode a PLINK .bed payload (SNP-major, 2 bits/sample) into allele
+// frequencies out[n_samples * n_snps] (row-major, sample x snp).
+// Genotype codes: 00 -> 0.0 (hom A1), 10 -> 0.5 (het), 11 -> 1.0 (hom A2),
+// 01 -> NaN (missing). `buf` excludes the 3 magic bytes.
+int gbmio_bed_decode(const uint8_t* buf, long n_samples, long n_snps,
+                     double* out, int n_threads) {
+    const long bytes_per_snp = (n_samples + 3) / 4;
+    static const double lut[4] = {0.0, std::numeric_limits<double>::quiet_NaN(), 0.5, 1.0};
+    int nt = hw_threads(n_threads);
+    long chunk = (n_snps + nt - 1) / nt;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long s0 = t * chunk;
+        long s1 = std::min(n_snps, s0 + chunk);
+        if (s0 >= s1) break;
+        threads.emplace_back([&, s0, s1]() {
+            for (long s = s0; s < s1; ++s) {
+                const uint8_t* col = buf + s * bytes_per_snp;
+                for (long i = 0; i < n_samples; ++i) {
+                    uint8_t code = (col[i >> 2] >> ((i & 3) * 2)) & 0x3;
+                    out[i * n_snps + s] = lut[code];
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
+// Encode allele frequencies into a PLINK .bed payload (excluding magic).
+// Frequencies are rounded to the nearest of {0, 0.5, 1}; NaN -> missing.
+int gbmio_bed_encode(const double* freqs, long n_samples, long n_snps,
+                     uint8_t* out, int n_threads) {
+    const long bytes_per_snp = (n_samples + 3) / 4;
+    std::memset(out, 0, static_cast<size_t>(bytes_per_snp * n_snps));
+    int nt = hw_threads(n_threads);
+    long chunk = (n_snps + nt - 1) / nt;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long s0 = t * chunk;
+        long s1 = std::min(n_snps, s0 + chunk);
+        if (s0 >= s1) break;
+        threads.emplace_back([&, s0, s1]() {
+            for (long s = s0; s < s1; ++s) {
+                uint8_t* col = out + s * bytes_per_snp;
+                for (long i = 0; i < n_samples; ++i) {
+                    double v = freqs[i * n_snps + s];
+                    uint8_t code;
+                    if (std::isnan(v)) code = 0x1;          // missing
+                    else if (v < 0.25) code = 0x0;          // 0.0
+                    else if (v < 0.75) code = 0x2;          // 0.5
+                    else code = 0x3;                        // 1.0
+                    col[i >> 2] |= static_cast<uint8_t>(code << ((i & 3) * 2));
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
+// Column means of an (n x p) row-major matrix, NaN-aware, threaded over
+// column blocks. Used by the streaming loader to center panels at read time.
+int gbmio_col_means(const double* x, long n, long p, double* means, int n_threads) {
+    int nt = hw_threads(n_threads);
+    long chunk = (p + nt - 1) / nt;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long c0 = t * chunk;
+        long c1 = std::min(p, c0 + chunk);
+        if (c0 >= c1) break;
+        threads.emplace_back([&, c0, c1]() {
+            std::vector<double> sum(static_cast<size_t>(c1 - c0), 0.0);
+            std::vector<long> cnt(static_cast<size_t>(c1 - c0), 0);
+            for (long i = 0; i < n; ++i) {
+                const double* row = x + i * p;
+                for (long c = c0; c < c1; ++c) {
+                    double v = row[c];
+                    if (!std::isnan(v)) { sum[c - c0] += v; ++cnt[c - c0]; }
+                }
+            }
+            for (long c = c0; c < c1; ++c)
+                means[c] = cnt[c - c0] ? sum[c - c0] / cnt[c - c0]
+                                       : std::numeric_limits<double>::quiet_NaN();
+        });
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,117 @@
+"""Native IO layer: TSV genomes/phenomes + PLINK .bed trios (C++ gbmio with
+numpy fallback)."""
+
+import numpy as np
+import pytest
+
+
+def test_native_library_builds():
+    from genomicbreedingmodels_tpu.native.lib import native_available
+
+    # g++ is part of the supported environment; the build must succeed here.
+    assert native_available()
+
+
+def test_genomes_tsv_roundtrip(tmp_path, sim_small):
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.io import read_genomes_tsv, write_genomes_tsv
+
+    genomes, _, _ = sim_small
+    sub = genomes.slice(idx_entries=list(range(30)), idx_loci_alleles=list(range(200)))
+    path = tmp_path / "g.tsv"
+    write_genomes_tsv(sub, path)
+    back = read_genomes_tsv(path)
+    assert np.array_equal(back.entries, sub.entries)
+    assert np.array_equal(back.populations, sub.populations)
+    assert np.array_equal(back.loci_alleles, sub.loci_alleles)
+    np.testing.assert_array_equal(back.allele_frequencies, sub.allele_frequencies)
+
+
+def test_genomes_tsv_roundtrip_with_missing(tmp_path):
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.io import read_genomes_tsv, write_genomes_tsv
+
+    genomes = gbm.simulate_genomes(n=20, l=50, seed=2, sparsity=0.1)
+    path = tmp_path / "g.tsv"
+    write_genomes_tsv(genomes, path)
+    back = read_genomes_tsv(path)
+    np.testing.assert_array_equal(back.allele_frequencies, genomes.allele_frequencies)
+    assert np.isnan(back.allele_frequencies).sum() == np.isnan(genomes.allele_frequencies).sum() > 0
+
+
+def test_phenomes_tsv_roundtrip(tmp_path, sim_small):
+    from genomicbreedingmodels_tpu.io import read_phenomes_tsv, write_phenomes_tsv
+
+    _, phenomes, _ = sim_small
+    path = tmp_path / "p.tsv"
+    write_phenomes_tsv(phenomes, path)
+    back = read_phenomes_tsv(path)
+    assert np.array_equal(back.traits, phenomes.traits)
+    np.testing.assert_array_equal(back.phenotypes, phenomes.phenotypes)
+
+
+def test_tsv_malformed_field(tmp_path):
+    from genomicbreedingmodels_tpu.io import read_genomes_tsv
+
+    path = tmp_path / "bad.tsv"
+    path.write_text("entry\tpopulation\tl1\tl2\ne1\tp1\t0.5\toops\n")
+    with pytest.raises(ValueError):
+        read_genomes_tsv(path)
+
+
+def test_bed_roundtrip(tmp_path, sim_small):
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.io import read_bed, write_bed
+
+    genomes, _, _ = sim_small
+    sub = genomes.slice(idx_entries=list(range(37)), idx_loci_alleles=list(range(100)))
+    # Quantize to the .bed alphabet (incl. missing) so the round-trip is exact.
+    q = np.round(np.asarray(sub.allele_frequencies) * 2) / 2
+    q[:3, :2] = np.nan
+    sub.allele_frequencies = q
+    write_bed(sub, tmp_path / "panel")
+    back = read_bed(tmp_path / "panel")
+    assert np.array_equal(back.entries, sub.entries)
+    assert np.array_equal(back.populations, sub.populations)
+    assert np.array_equal(back.loci_alleles, sub.loci_alleles)
+    np.testing.assert_array_equal(back.allele_frequencies, q)
+
+
+def test_bed_decode_matches_fallback(tmp_path, sim_small):
+    """Native decode and the pure-numpy fallback must agree bit-for-bit."""
+    import genomicbreedingmodels_tpu.io as gio
+    from genomicbreedingmodels_tpu.io import read_bed, write_bed
+
+    genomes, _, _ = sim_small
+    sub = genomes.slice(idx_entries=list(range(10)), idx_loci_alleles=list(range(33)))
+    sub.allele_frequencies = np.round(np.asarray(sub.allele_frequencies) * 2) / 2
+    write_bed(sub, tmp_path / "x")
+    native = read_bed(tmp_path / "x")
+
+    real_load = gio.load_native
+    gio.load_native = lambda: None
+    try:
+        fallback = read_bed(tmp_path / "x")
+    finally:
+        gio.load_native = real_load
+    np.testing.assert_array_equal(
+        native.allele_frequencies, fallback.allele_frequencies
+    )
+
+
+def test_io_feeds_models(tmp_path):
+    """Files written by the IO layer drive a fit end-to-end."""
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.io import (
+        read_genomes_tsv, read_phenomes_tsv, write_genomes_tsv, write_phenomes_tsv,
+    )
+
+    genomes = gbm.simulate_genomes(n=60, l=300, seed=4)
+    trials, _ = gbm.simulate_trials(genomes, f_add_dom_epi=np.array([[0.5, 0.05, 0.05]]), seed=4)
+    phenomes = gbm.extract_phenomes(trials)
+    write_genomes_tsv(genomes, tmp_path / "g.tsv")
+    write_phenomes_tsv(phenomes, tmp_path / "p.tsv")
+    g2 = read_genomes_tsv(tmp_path / "g.tsv")
+    p2 = read_phenomes_tsv(tmp_path / "p.tsv")
+    fit = gbm.ridge(g2, p2, idx_trait=0)
+    assert fit.metrics["cor"] > 0.5
