@@ -39,6 +39,7 @@ from .models.bayesian import (
     bayesian_lasso,
     bayesian_ridge,
     gibbs_regression,
+    bglr,
 )
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, reml_variance_components
@@ -107,6 +108,7 @@ __all__ = [
     "bayesian_ridge",
     "bayesian_lasso",
     "gibbs_regression",
+    "bglr",
     "gblup",
     "mlp",
     "read_bed",

@@ -37,6 +37,7 @@ from ..prediction import extractxyetc
 
 __all__ = [
     "gibbs_regression",
+    "bglr",
     "bayesian",
     "bayesa",
     "bayesb",
@@ -311,6 +312,33 @@ def gibbs_regression(
         sig_trace = sig_trace[0]
     diag = {"sigma_e2_trace": np.asarray(sig_trace, dtype=np.float64)}
     return mu_hat, b_hat, diag
+
+
+def bglr(
+    G: np.ndarray,
+    y: np.ndarray,
+    model: str = "BayesA",
+    response_type: str = "gaussian",
+    n_iter: int = 1_500,
+    n_burnin: int = 500,
+    seed: int = 42,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Low-level sampler entry point, name/shape-compatible with the
+    reference's `bglr` (src/bayes.jl:28-105): takes a marker matrix G and
+    response y, returns b_hat = [mu; marker effects].
+
+    The reference writes temp TSVs and shells out to `Rscript`+BGLR here;
+    this implementation runs the native blocked Gibbs sampler as one XLA
+    program on-device — no subprocess, no files.
+    """
+    if response_type != "gaussian":
+        raise NotImplementedError("only gaussian response is supported")
+    mu_hat, b_marker, _ = gibbs_regression(
+        np.asarray(G, dtype=np.float64), np.asarray(y, dtype=np.float64),
+        model=model, n_iter=n_iter, n_burnin=n_burnin, seed=seed,
+    )
+    return np.concatenate([[mu_hat], b_marker])
 
 
 def bayesian(

@@ -88,3 +88,21 @@ def test_bayesian_rejects_unknown(strong_additive):
         gibbs_regression(genomes.allele_frequencies, phenomes.phenotypes[:, 0], model="BayesZ")
     with pytest.raises(NotImplementedError):
         gbm.bayesian("BayesA", genomes=genomes, phenomes=phenomes, response_type="ordinal")
+
+
+def test_bglr_low_level_entry():
+    """Name/shape-compatible with the reference's bglr (src/bayes.jl:28-105):
+    G + y in, [mu; effects] out — native sampler, no subprocess."""
+    import genomicbreedingmodels_tpu as gbm
+
+    rng = np.random.default_rng(0)
+    G = rng.random((80, 200))
+    b_true = np.zeros(200)
+    b_true[:5] = 1.0
+    y = G @ b_true + 0.3 * rng.normal(size=80)
+    b = gbm.bglr(G, y, model="BayesC", n_iter=600, n_burnin=200)
+    assert b.shape == (201,)
+    yp = b[0] + G @ b[1:]
+    assert np.corrcoef(yp, y)[0, 1] > 0.8
+    with pytest.raises(NotImplementedError):
+        gbm.bglr(G, y, response_type="ordinal")
