@@ -58,10 +58,10 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds"),
 )
 def _gibbs_chain(
-    X: jnp.ndarray,  # (n, p_pad)
+    X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
     y: jnp.ndarray,  # (n,)
     valid: jnp.ndarray,  # (p_pad,) 1.0 for real markers
     key: jnp.ndarray,
@@ -71,9 +71,46 @@ def _gibbs_chain(
     n_burnin: int,
     block_size: int,
     n_blocks: int,
+    axis_name: str = None,
+    seq_rounds: int = 1,
 ):
+    """When `axis_name` is set the chain runs marker-sharded under shard_map:
+    each device owns p_pad local markers, processes its own blocks, and the
+    residual is kept replicated by psum-ing the per-round block deltas over
+    ICI. Within a device the update is the exact sequential conditional; the
+    D blocks updated concurrently across devices in one round condition on
+    the round-start residual (block-Jacobi across devices) — the standard
+    distributed-Gibbs approximation, exact again at D=1. Global scalar draws
+    use replicated keys; per-marker draws fold in the device index.
+
+    `seq_rounds = D` switches to exact Gauss-Seidel across devices: each
+    block round is split into D turns and only the device whose turn it is
+    commits its delta (needed for BL, whose sig_e2-proportional shrinkage
+    turns Jacobi overshoot into a positive feedback loop)."""
+
+    def _psum(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    def _vary(v):
+        # Mark marker-axis state as device-varying for shard_map's VMA typing
+        # (idempotent: pcast rejects already-varying inputs).
+        if axis_name is None:
+            return v
+        try:
+            return jax.lax.pcast(v, (axis_name,), to="varying")
+        except ValueError:
+            return v
+
+    dev_ix = jax.lax.axis_index(axis_name) if axis_name is not None else 0
     n, p_pad = X.shape
     bs = block_size
+    # Center the design; the intercept absorbs the column means and the
+    # returned mu is adjusted back at the end. Centering removes the common
+    # all-positive direction of allele-frequency columns — essential for the
+    # sharded block-Jacobi rounds (uncentered concurrent blocks all absorb
+    # the residual mean and overshoot), and better-conditioned generally.
+    mu_cols = jnp.mean(X, axis=0)  # (p_pad,) local
+    X = X - mu_cols[None, :]
     x2 = jnp.sum(X * X, axis=0)  # (p_pad,)
     # Per-block Gram matrices: (B, bs, bs); each is one MXU matmul.
     Xb = X.T.reshape(n_blocks, bs, n)  # block-major marker layout
@@ -85,15 +122,23 @@ def _gibbs_chain(
     S_e0 = hyper["S_e0"]
     pi_in0 = hyper["pi_in"]
     pi_counts = hyper["pi_counts"]
-    p_real = jnp.sum(valid)
+    p_real = _psum(jnp.sum(valid))
 
     has_indicator = model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
     per_marker_var = model_id in (_MODEL_IDS["BayesA"], _MODEL_IDS["BayesB"], _MODEL_IDS["BL"])
     is_bl = model_id == _MODEL_IDS["BL"]
 
-    def block_step(carry, blk):
-        b, r, s2, sig_e2, pi_in, key = carry
+    def block_step(carry, gb):
+        b, r, s2, sig_e2, pi_in, incl_acc, key = carry
         key, k_blk = jax.random.split(key)
+        if axis_name is not None:
+            k_blk = jax.random.fold_in(k_blk, dev_ix)
+        if seq_rounds > 1:
+            blk = gb // seq_rounds
+            active = (gb % seq_rounds) == dev_ix
+        else:
+            blk = gb
+            active = jnp.bool_(True)
         Xblk = jax.lax.dynamic_slice(X, (0, blk * bs), (n, bs))
         u = jnp.dot(Xblk.T, r, preferred_element_type=jnp.float32)  # (bs,)
         b_blk = jax.lax.dynamic_slice(b, (blk * bs,), (bs,))
@@ -139,21 +184,37 @@ def _gibbs_chain(
             b_blk = b_blk.at[j].set(b_new)
             return (cdelta, delta, b_blk), incl
 
-        init = (jnp.zeros(bs), jnp.zeros(bs), b_blk)
+        init = (_vary(jnp.zeros(bs)), _vary(jnp.zeros(bs)), b_blk)
         (cdelta, delta, b_blk_new), incl = jax.lax.scan(marker_step, init, jnp.arange(bs))
-        r = r - jnp.dot(Xblk, delta, preferred_element_type=jnp.float32)
+        # Gate: in sequential-device mode only the device whose turn it is
+        # commits; the others recompute their block when their turn comes.
+        delta = jnp.where(active, delta, 0.0)
+        b_blk_new = jnp.where(active, b_blk_new, b_blk)
+        incl_blk = jnp.where(active, incl.astype(jnp.float32),
+                             jax.lax.dynamic_slice(incl_acc, (blk * bs,), (bs,)))
+        r = r - _psum(jnp.dot(Xblk, delta, preferred_element_type=jnp.float32))
         b = jax.lax.dynamic_update_slice(b, b_blk_new, (blk * bs,))
-        return (b, r, s2, sig_e2, pi_in, key), incl
+        incl_acc = jax.lax.dynamic_update_slice(incl_acc, incl_blk, (blk * bs,))
+        return (b, r, s2, sig_e2, pi_in, incl_acc, key), None
 
     def sweep(state, it):
         b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n = state
         key, k_mu, k_e, k_s2, k_scale, k_hyper, k_pi1, k_pi2, k_blks = jax.random.split(key, 9)
+        if axis_name is not None:
+            # Per-marker draws must differ across shards; global scalar draws
+            # (k_mu, k_e, k_hyper, k_pi*) stay replicated.
+            k_s2 = jax.random.fold_in(k_s2, dev_ix)
+            k_scale_local = jax.random.fold_in(k_scale, dev_ix)
+        else:
+            k_scale_local = k_scale
 
         # 1) Marker effects, blocked-exact Gibbs.
-        (b, r, s2, sig_e2, pi_in, _), incl = jax.lax.scan(
-            block_step, (b, r, s2, sig_e2, pi_in, k_blks), jnp.arange(n_blocks)
+        incl_acc0 = _vary(jnp.zeros(p_pad))
+        (b, r, s2, sig_e2, pi_in, incl_acc, _), _ = jax.lax.scan(
+            block_step, (b, r, s2, sig_e2, pi_in, incl_acc0, k_blks),
+            jnp.arange(n_blocks * seq_rounds),
         )
-        incl = incl.reshape(-1) * valid
+        incl = incl_acc * valid
         active = jnp.where(has_indicator, incl, valid)
 
         # 2) Intercept.
@@ -178,39 +239,39 @@ def _gibbs_chain(
                     + mu_ig * mu_ig * v / (2.0 * lam2)
                     - mu_ig / (2.0 * lam2) * jnp.sqrt(4.0 * lam2 * mu_ig * v + mu_ig**2 * v * v)
                 )
-                ubern = jax.random.uniform(k_scale, (p_pad,))
+                ubern = jax.random.uniform(k_scale_local, (p_pad,))
                 inv_tau2 = jnp.where(ubern <= mu_ig / (mu_ig + x_ig), x_ig, mu_ig * mu_ig / jnp.maximum(x_ig, 1e-20))
                 s2 = jnp.clip(sig_e2 / jnp.maximum(inv_tau2, 1e-12), 1e-10, 1e6)
                 # λ² | τ² ~ Gamma(p + shape, Στ²/2 + rate)
-                tau2_sum = jnp.sum(jnp.where(valid > 0, s2 / sig_e2, 0.0))
+                tau2_sum = _psum(jnp.sum(jnp.where(valid > 0, s2 / sig_e2, 0.0)))
                 lam2 = jax.random.gamma(k_hyper, p_real + 1.1) / (0.5 * tau2_sum + 1.1 / hyper["lam2_0"])
                 S_scale = lam2
             else:
                 # Scaled-t (BayesA/B): σ²ⱼ | bⱼ ~ (S + bⱼ²)/χ²(df+1) when active,
                 # prior draw S/χ²(df) when excluded.
                 chis = _chi2(k_s2, df_b + 1.0, (p_pad,))
-                chis0 = _chi2(k_scale, df_b, (p_pad,))
+                chis0 = _chi2(k_scale_local, df_b, (p_pad,))
                 s2_in = (S_scale + b * b) / chis
                 s2_out = S_scale / chis0
                 s2 = jnp.where(active > 0, s2_in, s2_out)
                 s2 = jnp.clip(s2, 1e-10, 1e6)
                 # Hyper-scale S | σ²ⱼ ~ Gamma.
-                inv_sum = jnp.sum(jnp.where(valid > 0, 1.0 / s2, 0.0))
+                inv_sum = _psum(jnp.sum(jnp.where(valid > 0, 1.0 / s2, 0.0)))
                 S_scale = jax.random.gamma(k_hyper, p_real * df_b / 2.0 + 1.1) / (
                     0.5 * inv_sum + 1.1 / S_b0
                 )
         else:
             # Common slab variance (BayesC / BRR).
             k_a, k_b2 = jax.random.split(k_s2)
-            ssb = jnp.sum(jnp.where(active > 0, b * b, 0.0))
-            nb = jnp.sum(active)
+            ssb = _psum(jnp.sum(jnp.where(active > 0, b * b, 0.0)))
+            nb = _psum(jnp.sum(active))
             s2_common = (ssb + S_b0 * df_b) / _chi2(k_a, df_b + nb)
             s2_common = jnp.clip(s2_common, 1e-10, 1e6)
-            s2 = jnp.full((p_pad,), s2_common)
+            s2 = _vary(jnp.full((p_pad,), s2_common))
 
         # 5) Inclusion probability π (BayesB/C).
         if has_indicator:
-            n_in = jnp.sum(incl)
+            n_in = _psum(jnp.sum(incl))
             a = pi_in0 * pi_counts + n_in
             bcount = (1.0 - pi_in0) * pi_counts + (p_real - n_in)
             g1 = jax.random.gamma(k_pi1, a)
@@ -226,21 +287,25 @@ def _gibbs_chain(
 
     mu0 = jnp.mean(y)
     state0 = (
-        jnp.zeros(p_pad),  # b
+        _vary(jnp.zeros(p_pad)),  # b
         y - mu0,  # r
-        jnp.full((p_pad,), S_b0 / jnp.maximum(df_b - 2.0, 0.5)),  # s2
+        _vary(jnp.full((p_pad,), S_b0 / jnp.maximum(df_b - 2.0, 0.5))),  # s2
         jnp.var(y) * 0.5,  # sig_e2
         mu0,  # mu
         pi_in0,  # pi
         jnp.where(is_bl, hyper["lam2_0"], S_b0),  # S_scale / λ²
         key,
-        jnp.zeros(p_pad),
+        _vary(jnp.zeros(p_pad)),
         0.0,
         0.0,
     )
     state, sig_trace = jax.lax.scan(sweep, state0, jnp.arange(n_iter))
     *_, acc_b, acc_mu, acc_n = state
-    return acc_mu / acc_n, acc_b / acc_n, sig_trace
+    b_mean = acc_b / acc_n
+    # Undo the centering reparametrization: y = mu_c + (X - mu_cols) b
+    #                                         = (mu_c - mu_cols . b) + X b.
+    mu_out = acc_mu / acc_n - _psum(jnp.dot(mu_cols, b_mean))
+    return mu_out, b_mean, sig_trace
 
 
 def gibbs_regression(

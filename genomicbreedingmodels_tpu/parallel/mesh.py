@@ -33,9 +33,10 @@ def make_mesh(
     devs = list(devices) if devices is not None else jax.devices()
     if shape is None:
         shape = (1, len(devs))
-    if shape[0] * shape[1] != len(devs):
-        raise ValueError(f"mesh shape {shape} does not match {len(devs)} devices")
-    arr = np.asarray(devs).reshape(shape)
+    need = shape[0] * shape[1]
+    if need > len(devs):
+        raise ValueError(f"mesh shape {shape} needs {need} devices, only {len(devs)} available")
+    arr = np.asarray(devs[:need]).reshape(shape)
     return Mesh(arr, axis_names)
 
 

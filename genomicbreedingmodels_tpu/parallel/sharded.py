@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step"]
+__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression"]
 
 
 def _local_centered(Xl: jnp.ndarray) -> jnp.ndarray:
@@ -130,3 +130,95 @@ def multitrait_gblup_step(X, Y, lam: float, mesh: Mesh) -> jnp.ndarray:
         
     )
     return jax.jit(fn)(X, jnp.asarray(Y, jnp.float32))
+
+
+def sharded_gibbs_regression(
+    X,
+    y,
+    mesh: Mesh,
+    axis: str = "mp",
+    model: str = "BayesC",
+    n_iter: int = 1_500,
+    n_burnin: int = 500,
+    seed: int = 42,
+    block_size: int = 64,
+    r2: float = 0.5,
+    device_schedule: str = "auto",
+) -> Tuple[float, np.ndarray]:
+    """Marker-sharded Bayesian-alphabet Gibbs across the mesh `axis`.
+
+    Each device owns a contiguous marker shard; within-device block updates
+    are the exact sequential conditionals, concurrent blocks across devices
+    condition on the round-start residual (block-Jacobi), and the replicated
+    residual is kept in sync with one psum of the length-n delta per block
+    round — the communication pattern BASELINE.json's multi-host north star
+    prescribes (markers over ICI/DCN, effects psum'd). Exact single-chip
+    semantics at D=1. Returns (mu_hat, b_hat[p]).
+
+    `device_schedule`: "concurrent" (block-Jacobi rounds, fastest),
+    "sequential" (exact Gauss-Seidel turns across devices), or "auto" —
+    sequential for BL, whose sig_e2-proportional shrinkage amplifies Jacobi
+    overshoot into divergence; concurrent for the others (validated to track
+    single-chip effect estimates to cor > 0.97).
+    """
+    from ..models.bayesian import _MODEL_IDS, _gibbs_chain, BAYESIAN_MODELS
+
+    if model not in _MODEL_IDS:
+        raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n, p = X.shape
+    D = mesh.shape[axis]
+    bs = int(min(block_size, max(8, p // max(D, 1))))
+    # Pad p so every device gets the same whole number of blocks.
+    per_dev = ((p + D * bs - 1) // (D * bs)) * bs
+    p_pad = per_dev * D
+    Xp = np.zeros((n, p_pad), dtype=np.float32)
+    Xp[:, :p] = X
+    valid = np.zeros(p_pad, dtype=np.float32)
+    valid[:p] = 1.0
+
+    var_y = float(np.var(y, ddof=1))
+    ms_x = max(float(np.sum(np.var(X, axis=0))), 1e-8)
+    df_b, df_e = 5.0, 5.0
+    pi_in = 0.5 if model in ("BayesB", "BayesC") else 1.0
+    hyper = {
+        "df_b": jnp.float32(df_b),
+        "S_b0": jnp.float32(var_y * r2 / ms_x * (df_b + 2.0) / pi_in),
+        "df_e": jnp.float32(df_e),
+        "S_e0": jnp.float32(var_y * (1.0 - r2) * (df_e + 2.0)),
+        "pi_in": jnp.float32(pi_in),
+        "pi_counts": jnp.float32(10.0),
+        "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
+    }
+    key = jax.random.PRNGKey(seed)
+
+    if device_schedule == "auto":
+        device_schedule = "sequential" if model == "BL" else "concurrent"
+    if device_schedule not in ("concurrent", "sequential"):
+        raise ValueError(f"unknown device_schedule {device_schedule!r}")
+    seq_rounds = D if device_schedule == "sequential" else 1
+
+    def kernel(Xl, y, validl, key, hyper):
+        mu_hat, b_hat, _ = _gibbs_chain(
+            Xl, y, validl, key, hyper,
+            model_id=_MODEL_IDS[model],
+            n_iter=int(n_iter),
+            n_burnin=int(n_burnin),
+            block_size=bs,
+            n_blocks=per_dev // bs,
+            axis_name=axis,
+            seq_rounds=seq_rounds,
+        )
+        return mu_hat, b_hat
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(axis), P(), {k: P() for k in hyper}),
+        out_specs=(P(), P(axis)),
+    )
+    mu_hat, b_hat = jax.jit(fn)(
+        jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key, hyper
+    )
+    return float(mu_hat), np.asarray(b_hat, dtype=np.float64)[:p]

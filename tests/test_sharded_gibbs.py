@@ -1,0 +1,69 @@
+"""Marker-sharded Bayesian-alphabet Gibbs on the 8-device virtual mesh.
+
+Each device owns a marker shard; residual deltas psum over the mesh axis —
+the multi-chip communication pattern from BASELINE's north star. Concurrent
+(block-Jacobi) rounds for A/B/C/BRR; exact sequential device turns for BL.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    n, p = 130, 320
+    X = rng.random((n, p)).astype(np.float32)
+    b_true = np.zeros(p)
+    b_true[[5, 120, 300]] = [1.5, -1.0, 1.2]
+    y = X @ b_true + 0.3 * rng.normal(size=n)
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from genomicbreedingmodels_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(shape=(1, 8), axis_names=("dp", "mp"))
+
+
+@pytest.mark.parametrize("model", ["BayesA", "BayesC", "BL"])
+def test_sharded_matches_single_chip_heldout(problem, mesh, model):
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_gibbs_regression
+
+    X, y = problem
+    tr, va = np.arange(100), np.arange(100, 130)
+    mu8, b8 = sharded_gibbs_regression(
+        X[tr], y[tr], mesh, axis="mp", model=model, n_iter=400, n_burnin=150, seed=1
+    )
+    mu1, b1, _ = gibbs_regression(
+        X[tr], y[tr], model=model, n_iter=400, n_burnin=150, seed=1
+    )
+    assert b8.shape == (320,)
+    c8 = np.corrcoef(mu8 + X[va] @ b8, y[va])[0, 1]
+    c1 = np.corrcoef(mu1 + X[va] @ b1, y[va])[0, 1]
+    # Sharded chain must track the single-chip chain's predictive accuracy.
+    assert c8 > 0.8 * c1 - 0.05, (model, c8, c1)
+
+
+def test_sharded_effect_estimates_track_single_chip(problem, mesh):
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_gibbs_regression
+
+    X, y = problem
+    mu8, b8 = sharded_gibbs_regression(
+        X, y, mesh, axis="mp", model="BayesC", n_iter=400, n_burnin=150, seed=1
+    )
+    mu1, b1, _ = gibbs_regression(X, y, model="BayesC", n_iter=400, n_burnin=150, seed=1)
+    assert np.corrcoef(b8, b1)[0, 1] > 0.9
+
+
+def test_sharded_unknown_model(problem, mesh):
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_gibbs_regression
+
+    X, y = problem
+    with pytest.raises(ValueError):
+        sharded_gibbs_regression(X, y, mesh, model="nope")
+    with pytest.raises(ValueError):
+        sharded_gibbs_regression(X, y, mesh, model="BayesC", device_schedule="bogus")
