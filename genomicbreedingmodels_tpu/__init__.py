@@ -44,6 +44,7 @@ from .models.bayesian import (
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, reml_variance_components
 from .models.mlp import mlp
+from .plots import manhattan_data, plot_cv, plot_manhattan
 from .io import (
     read_bed,
     read_genomes_tsv,
@@ -112,6 +113,9 @@ __all__ = [
     "gblup",
     "mlp",
     "read_bed",
+    "manhattan_data",
+    "plot_manhattan",
+    "plot_cv",
     "read_genomes_tsv",
     "read_phenomes_tsv",
     "write_bed",

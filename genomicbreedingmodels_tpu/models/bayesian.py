@@ -58,7 +58,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -73,6 +73,8 @@ def _gibbs_chain(
     n_blocks: int,
     axis_name: str = None,
     seq_rounds: int = 1,
+    response_id: int = 0,
+    n_cats: int = 0,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -197,9 +199,11 @@ def _gibbs_chain(
         incl_acc = jax.lax.dynamic_update_slice(incl_acc, incl_blk, (blk * bs,))
         return (b, r, s2, sig_e2, pi_in, incl_acc, key), None
 
+    is_ordinal = response_id == 1
+
     def sweep(state, it):
-        b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n = state
-        key, k_mu, k_e, k_s2, k_scale, k_hyper, k_pi1, k_pi2, k_blks = jax.random.split(key, 9)
+        b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n, z, gam = state
+        key, k_mu, k_e, k_s2, k_scale, k_hyper, k_pi1, k_pi2, k_blks, k_z, k_gam = jax.random.split(key, 11)
         if axis_name is not None:
             # Per-marker draws must differ across shards; global scalar draws
             # (k_mu, k_e, k_hyper, k_pi*) stay replicated.
@@ -222,9 +226,41 @@ def _gibbs_chain(
         r = r - (mu_new - mu)
         mu = mu_new
 
-        # 3) Residual variance: σ²ₑ = (SSE + Sₑ) / χ²(n + dfₑ)  (BGLR convention).
-        sse = jnp.dot(r, r)
-        sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + n)
+        if is_ordinal:
+            # 2b) Albert-Chib probit augmentation: y holds category codes
+            # 0..C-1; the latent liability z replaces the response and the
+            # residual variance is fixed at 1 (probit identification).
+            from jax.scipy.special import ndtr, ndtri
+
+            eta = z - r
+            # Interior thresholds gamma_1..gamma_{C-1}; gamma_1 pinned at 0.
+            BIG = jnp.float32(1e10)
+            lo_k = jnp.stack([
+                jnp.max(jnp.where(y == k, z, -BIG)) for k in range(n_cats - 1)
+            ])
+            hi_k = jnp.stack([
+                jnp.min(jnp.where(y == k + 1, z, BIG)) for k in range(n_cats - 1)
+            ])
+            u_g = jax.random.uniform(k_gam, (n_cats - 1,))
+            gam_new = lo_k + u_g * (hi_k - lo_k)
+            gam = gam.at[:].set(gam_new)
+            gam = gam.at[0].set(0.0)  # identifiability
+            full_gam = jnp.concatenate([jnp.array([-BIG]), gam, jnp.array([BIG])])
+            lo = full_gam[y.astype(jnp.int32)]
+            hi = full_gam[y.astype(jnp.int32) + 1]
+            # Truncated-normal draw by inverse CDF.
+            a = ndtr(lo - eta)
+            bcdf = ndtr(hi - eta)
+            u_z = jax.random.uniform(k_z, (n,), minval=1e-6, maxval=1.0 - 1e-6)
+            q = jnp.clip(a + u_z * (bcdf - a), 1e-6, 1.0 - 1e-6)
+            z = eta + ndtri(q)
+            r = z - eta
+            sig_e2 = jnp.float32(1.0)
+            sse = jnp.dot(r, r)
+        else:
+            # 3) Residual variance: σ²ₑ = (SSE + Sₑ) / χ²(n + dfₑ) (BGLR).
+            sse = jnp.dot(r, r)
+            sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + n)
 
         # 4) Marker variances.
         if per_marker_var:
@@ -283,14 +319,27 @@ def _gibbs_chain(
         acc_b = acc_b + w * b
         acc_mu = acc_mu + w * mu
         acc_n = acc_n + w
-        return (b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n), sig_e2
+        return (b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n, z, gam), sig_e2
 
-    mu0 = jnp.mean(y)
+    if response_id == 1:
+        # Latent liabilities start at the standardized category codes with
+        # jitterless spread; interior thresholds at equally spaced normals.
+        z0 = (y - jnp.mean(y)) / jnp.maximum(jnp.std(y), 1e-6)
+        gam0 = jnp.linspace(0.0, 1.0, max(n_cats - 1, 1)).astype(jnp.float32)
+        mu0 = jnp.float32(0.0)
+        r0 = z0 - mu0
+        sig0 = jnp.float32(1.0)
+    else:
+        z0 = y
+        gam0 = jnp.zeros((max(n_cats - 1, 1),), jnp.float32)
+        mu0 = jnp.mean(y)
+        r0 = y - mu0
+        sig0 = jnp.var(y) * 0.5
     state0 = (
         _vary(jnp.zeros(p_pad)),  # b
-        y - mu0,  # r
+        r0,  # r
         _vary(jnp.full((p_pad,), S_b0 / jnp.maximum(df_b - 2.0, 0.5))),  # s2
-        jnp.var(y) * 0.5,  # sig_e2
+        sig0,  # sig_e2
         mu0,  # mu
         pi_in0,  # pi
         jnp.where(is_bl, hyper["lam2_0"], S_b0),  # S_scale / λ²
@@ -298,9 +347,11 @@ def _gibbs_chain(
         _vary(jnp.zeros(p_pad)),
         0.0,
         0.0,
+        z0,
+        gam0,
     )
     state, sig_trace = jax.lax.scan(sweep, state0, jnp.arange(n_iter))
-    *_, acc_b, acc_mu, acc_n = state
+    acc_b, acc_mu, acc_n = state[8], state[9], state[10]
     b_mean = acc_b / acc_n
     # Undo the centering reparametrization: y = mu_c + (X - mu_cols) b
     #                                         = (mu_c - mu_cols . b) + X b.
@@ -318,16 +369,28 @@ def gibbs_regression(
     block_size: int = 256,
     n_chains: int = 1,
     r2: float = 0.5,
+    response_type: str = "gaussian",
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
 
     `n_chains > 1` runs independent chains (vmapped — data-parallel across the
     batch dimension, or across devices under shard_map) and averages posterior
-    means.
+    means. `response_type="ordinal"` runs Albert-Chib probit augmentation on
+    integer category codes (the reference's BGLR passthrough, src/bayes.jl);
+    b_hat is then on the latent liability scale.
     """
     if model not in _MODEL_IDS:
         raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
+    if response_type not in ("gaussian", "ordinal"):
+        raise ValueError(f"unknown response_type {response_type!r}")
     X = np.asarray(X, dtype=np.float32)
+    response_id, n_cats = 0, 0
+    if response_type == "ordinal":
+        codes, y = np.unique(np.asarray(y), return_inverse=True)
+        n_cats = len(codes)
+        if n_cats < 2:
+            raise ValueError("ordinal response needs >= 2 categories")
+        response_id = 1
     y = np.asarray(y, dtype=np.float32)
     n, p = X.shape
     bs = int(min(block_size, max(8, p)))
@@ -337,7 +400,7 @@ def gibbs_regression(
     valid = np.zeros(p_pad, dtype=np.float32)
     valid[:p] = 1.0
 
-    var_y = float(np.var(y, ddof=1))
+    var_y = 1.0 if response_id == 1 else float(np.var(y, ddof=1))
     ms_x = float(np.sum(np.var(X, axis=0)))
     ms_x = max(ms_x, 1e-8)
     df_b, df_e = 5.0, 5.0
@@ -365,6 +428,8 @@ def gibbs_regression(
         n_burnin=int(n_burnin),
         block_size=bs,
         n_blocks=p_pad // bs,
+        response_id=response_id,
+        n_cats=n_cats,
     )
     if n_chains == 1:
         mu_hat, b_hat, sig_trace = run(keys[0])
@@ -397,11 +462,10 @@ def bglr(
     this implementation runs the native blocked Gibbs sampler as one XLA
     program on-device — no subprocess, no files.
     """
-    if response_type != "gaussian":
-        raise NotImplementedError("only gaussian response is supported")
     mu_hat, b_marker, _ = gibbs_regression(
         np.asarray(G, dtype=np.float64), np.asarray(y, dtype=np.float64),
         model=model, n_iter=n_iter, n_burnin=n_burnin, seed=seed,
+        response_type=response_type,
     )
     return np.concatenate([[mu_hat], b_marker])
 
@@ -423,11 +487,9 @@ def bayesian(
     """Fit a Bayesian-alphabet model (reference `bayesian`, src/bayes.jl:161-228).
 
     The reference shells out to R/BGLR here; we run the native sampler.
-    `response_type="ordinal"` is not yet implemented (the reference never uses
-    it in its own pipelines).
+    `response_type="ordinal"` runs the native Albert-Chib probit sampler
+    (predictions are latent liabilities).
     """
-    if response_type != "gaussian":
-        raise NotImplementedError("only gaussian response is supported")
     X, y, entries, populations, loci_alleles = extractxyetc(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
         idx_trait=idx_trait, add_intercept=True,
@@ -435,6 +497,7 @@ def bayesian(
     G = X[:, 1:]
     mu_hat, b_marker, _ = gibbs_regression(
         G, y, model=bglr_model, n_iter=n_iter, n_burnin=n_burnin, seed=seed, n_chains=n_chains,
+        response_type=response_type,
     )
     b_hat = np.concatenate([[mu_hat], b_marker])
     y_pred = X @ b_hat

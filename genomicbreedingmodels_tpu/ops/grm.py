@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gram_centered", "gram_centered_blocked"]
+__all__ = ["gram_centered", "gram_centered_blocked", "gram_centered_device"]
 
 
 @partial(jax.jit, static_argnames=("center",))
@@ -46,3 +46,21 @@ def gram_centered(X: np.ndarray, block_cols: int = 262_144) -> np.ndarray:
 
 def gram_centered_blocked(X: np.ndarray, block_cols: int = 262_144) -> np.ndarray:
     return gram_centered(X, block_cols=block_cols)
+
+
+def gram_centered_device(X, use_pallas: bool | None = None) -> jnp.ndarray:
+    """Device-resident centered Gram: returns a jnp (n, n) f32 array.
+
+    On TPU this dispatches to the triangular Pallas kernel (~1.4x the XLA
+    GEMM — only lower tiles are computed or streamed); elsewhere it uses the
+    fused XLA path. Input may be any float dtype; bf16 inputs keep the MXU at
+    full rate.
+    """
+    X = jnp.asarray(X)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from .pallas_kernels import grm_pallas
+
+        return grm_pallas(X, interpret=False)
+    return _gram_full(X)

@@ -106,7 +106,7 @@ def _grm_pallas_padded(X, mu, tm: int, tk: int, interpret: bool):
     return lo + jnp.tril(lower, -1).T
 
 
-def grm_pallas(X, tm: int = 512, tk: int = 1024, interpret: bool | None = None) -> jnp.ndarray:
+def grm_pallas(X, tm: int = 512, tk: int = 2048, interpret: bool | None = None) -> jnp.ndarray:
     """Centered Gram matrix (X - colmean)(X - colmean)ᵀ via the triangular
     Pallas kernel.
 

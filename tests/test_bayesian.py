@@ -86,8 +86,8 @@ def test_bayesian_rejects_unknown(strong_additive):
     genomes, phenomes, _ = strong_additive
     with pytest.raises(ValueError):
         gibbs_regression(genomes.allele_frequencies, phenomes.phenotypes[:, 0], model="BayesZ")
-    with pytest.raises(NotImplementedError):
-        gbm.bayesian("BayesA", genomes=genomes, phenomes=phenomes, response_type="ordinal")
+    with pytest.raises(ValueError):
+        gbm.bayesian("BayesA", genomes=genomes, phenomes=phenomes, response_type="poisson")
 
 
 def test_bglr_low_level_entry():
@@ -104,5 +104,37 @@ def test_bglr_low_level_entry():
     assert b.shape == (201,)
     yp = b[0] + G @ b[1:]
     assert np.corrcoef(yp, y)[0, 1] > 0.8
-    with pytest.raises(NotImplementedError):
-        gbm.bglr(G, y, response_type="ordinal")
+    with pytest.raises(ValueError):
+        gbm.bglr(G, y, response_type="poisson")
+
+
+def test_ordinal_probit_response():
+    """Albert-Chib probit augmentation (reference response_type passthrough
+    to BGLR, src/bayes.jl): latent liability recovered from category codes."""
+    rng = np.random.default_rng(0)
+    n, p = 150, 200
+    X = rng.random((n, p)).astype(np.float32)
+    b_true = np.zeros(p)
+    b_true[[3, 60, 150]] = [2.0, -1.5, 1.8]
+    liab = X @ b_true
+    liab = (liab - liab.mean()) / liab.std()
+    y3 = np.digitize(liab + 0.4 * rng.normal(size=n), [-0.5, 0.5])
+    mu, b, _ = gibbs_regression(
+        X, y3.astype(float), model="BayesC", n_iter=800, n_burnin=300,
+        response_type="ordinal",
+    )
+    eta = mu + X @ b
+    assert np.corrcoef(eta, liab)[0, 1] > 0.6
+
+    # binary case
+    y2 = (liab + 0.4 * rng.normal(size=n) > 0).astype(float)
+    mu2, b2, _ = gibbs_regression(
+        X, y2, model="BRR", n_iter=600, n_burnin=200, response_type="ordinal"
+    )
+    eta2 = mu2 + X @ b2
+    assert np.corrcoef(eta2, liab)[0, 1] > 0.5
+
+    with pytest.raises(ValueError):
+        gibbs_regression(X, y2, response_type="poisson")
+    with pytest.raises(ValueError):
+        gibbs_regression(X, np.ones(n), response_type="ordinal")  # 1 category

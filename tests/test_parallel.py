@@ -85,3 +85,19 @@ def test_graft_entry_single_and_multichip():
     out = jax.jit(fn)(*args)
     assert np.asarray(out).shape == (256,)
     ge.dryrun_multichip(8)
+
+
+def test_distributed_helpers_single_process():
+    """distributed_init no-ops and mesh/slice helpers behave in 1-process."""
+    from genomicbreedingmodels_tpu.parallel.distributed import (
+        distributed_init, make_multihost_mesh, process_local_panel_slice,
+    )
+
+    assert distributed_init() is False
+    mesh = make_multihost_mesh()
+    assert mesh.axis_names == ("dp", "mp")
+    assert mesh.devices.size == 8
+    mesh2 = make_multihost_mesh(dp_per_host=2)
+    assert mesh2.shape["dp"] == 2 and mesh2.shape["mp"] == 4
+    start, stop = process_local_panel_slice(1000)
+    assert (start, stop) == (0, 1000)
