@@ -44,6 +44,7 @@ from .models.bayesian import (
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, reml_variance_components
 from .models.mlp import mlp
+from .cv.batched import cvbulk_batched
 from .plots import manhattan_data, plot_cv, plot_manhattan
 from .io import (
     read_bed,
@@ -141,6 +142,7 @@ __all__ = [
     "cvdispatch",
     "cvmultithread",
     "cvbulk",
+    "cvbulk_batched",
     "cvperpopulation",
     "cvpairwisepopulation",
     "cvleaveonepopulationout",
