@@ -155,11 +155,16 @@ def sharded_gibbs_regression(
     prescribes (markers over ICI/DCN, effects psum'd). Exact single-chip
     semantics at D=1. Returns (mu_hat, b_hat[p]).
 
-    `device_schedule`: "concurrent" (block-Jacobi rounds, fastest),
-    "sequential" (exact Gauss-Seidel turns across devices), or "auto" —
-    sequential for BL, whose sig_e2-proportional shrinkage amplifies Jacobi
-    overshoot into divergence; concurrent for the others (validated to track
-    single-chip effect estimates to cor > 0.97).
+    `device_schedule`: "sequential" (default via "auto" — exact Gauss-Seidel
+    turns across devices, matches the single-chip chain on any panel) or
+    "concurrent" (block-Jacobi rounds: every device updates simultaneously
+    against the round-start residual). Concurrent is faster per sweep but is
+    an approximation that degrades when markers are correlated ACROSS device
+    shards — fine on weak-LD panels (tracks single-chip effects to
+    cor > 0.97 on iid markers), unsafe on strong-LD founder-cross panels
+    (and always divergent for BL, whose sig_e2-proportional shrinkage
+    amplifies the Jacobi noise). Interleaving loci across shards reduces the
+    cross-shard correlation if you need concurrent throughput.
     """
     from ..models.bayesian import _MODEL_IDS, _gibbs_chain, BAYESIAN_MODELS
 
@@ -194,7 +199,7 @@ def sharded_gibbs_regression(
     key = jax.random.PRNGKey(seed)
 
     if device_schedule == "auto":
-        device_schedule = "sequential" if model == "BL" else "concurrent"
+        device_schedule = "sequential"
     if device_schedule not in ("concurrent", "sequential"):
         raise ValueError(f"unknown device_schedule {device_schedule!r}")
     seq_rounds = D if device_schedule == "sequential" else 1
