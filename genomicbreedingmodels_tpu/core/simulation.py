@@ -14,7 +14,7 @@ not vendored); only the knobs and their doctest-level contracts are mirrored.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -20,9 +20,8 @@ reference:
 from __future__ import annotations
 
 import copy
-import dataclasses
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -17,8 +17,7 @@
 
 from __future__ import annotations
 
-import warnings
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

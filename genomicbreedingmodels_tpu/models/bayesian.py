@@ -58,7 +58,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -75,6 +75,9 @@ def _gibbs_chain(
     seq_rounds: int = 1,
     response_id: int = 0,
     n_cats: int = 0,
+    iters=None,
+    state_in=None,
+    return_state: bool = False,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -350,12 +353,24 @@ def _gibbs_chain(
         z0,
         gam0,
     )
-    state, sig_trace = jax.lax.scan(sweep, state0, jnp.arange(n_iter))
+    # Segmented execution: `state_in` resumes a chain mid-run and `iters`
+    # carries the GLOBAL iteration indices (burn-in accounting stays right);
+    # `return_state` hands the full carry back for the next segment or for a
+    # checkpoint file. One long scan and N chained short scans produce the
+    # bit-identical chain (the RNG key is part of the carry).
+    if state_in is not None:
+        state0 = state_in
+    if iters is None:
+        iters = jnp.arange(n_iter)
+    state, sig_trace = jax.lax.scan(sweep, state0, iters)
     acc_b, acc_mu, acc_n = state[8], state[9], state[10]
-    b_mean = acc_b / acc_n
+    safe_n = jnp.maximum(acc_n, 1e-12)
+    b_mean = acc_b / safe_n
     # Undo the centering reparametrization: y = mu_c + (X - mu_cols) b
     #                                         = (mu_c - mu_cols . b) + X b.
-    mu_out = acc_mu / acc_n - _psum(jnp.dot(mu_cols, b_mean))
+    mu_out = acc_mu / safe_n - _psum(jnp.dot(mu_cols, b_mean))
+    if return_state:
+        return mu_out, b_mean, sig_trace, state
     return mu_out, b_mean, sig_trace
 
 
@@ -370,6 +385,8 @@ def gibbs_regression(
     n_chains: int = 1,
     r2: float = 0.5,
     response_type: str = "gaussian",
+    chunk_size: int = None,
+    checkpoint_path: str = None,
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
 
@@ -378,6 +395,12 @@ def gibbs_regression(
     means. `response_type="ordinal"` runs Albert-Chib probit augmentation on
     integer category codes (the reference's BGLR passthrough, src/bayes.jl);
     b_hat is then on the latent liability scale.
+
+    Long chains on big panels run SEGMENTED (`chunk_size` sweeps per device
+    call, auto-enabled when n·p·n_iter is large): identical chain statistics
+    (the RNG key rides in the carried state), bounded per-call device time
+    (the axon TPU tunnel kills very long single executions), and optional
+    `checkpoint_path` crash-resume between segments (single-chain runs).
     """
     if model not in _MODEL_IDS:
         raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
@@ -416,6 +439,13 @@ def gibbs_regression(
         "pi_counts": jnp.float32(10.0),
         "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
     }
+    if chunk_size is None and n_chains == 1:
+        # Bound the sequential scan work per device call: the within-block
+        # marker scan executes p_pad steps per sweep, and very long single
+        # executions get killed by the axon tunnel watchdog (observed at
+        # ~3e7 marker-steps). Stay well under that.
+        if float(n_iter) * p_pad > 4e6:
+            chunk_size = max(25, int(4e6 / p_pad))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
     run = partial(
         _gibbs_chain,
@@ -432,7 +462,37 @@ def gibbs_regression(
         n_cats=n_cats,
     )
     if n_chains == 1:
-        mu_hat, b_hat, sig_trace = run(keys[0])
+        if chunk_size is not None and chunk_size < n_iter:
+            state = None
+            done = 0
+            traces = []
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import load_state as _load
+
+                snap = _load(checkpoint_path)
+                if snap is not None:
+                    done = int(snap.pop("__done__"))
+                    state = tuple(
+                        jnp.asarray(snap[f"s{i}"]) for i in range(len(snap))
+                    )
+            mu_hat = b_hat = None
+            while done < n_iter:
+                seg = int(min(chunk_size, n_iter - done))
+                iters = jnp.arange(done, done + seg)
+                mu_hat, b_hat, tr, state = run(
+                    keys[0], iters=iters, state_in=state, return_state=True
+                )
+                done += seg
+                traces.append(np.asarray(tr, dtype=np.float64))
+                if checkpoint_path is not None:
+                    from ..utils.checkpoint import save_state as _save
+
+                    snap = {f"s{i}": np.asarray(v) for i, v in enumerate(state)}
+                    snap["__done__"] = np.asarray(done)
+                    _save(checkpoint_path, snap)
+            sig_trace = np.concatenate(traces)
+        else:
+            mu_hat, b_hat, sig_trace = run(keys[0])
         mu_hat = float(mu_hat)
         b_hat = np.asarray(b_hat[:p], dtype=np.float64)
     else:

@@ -23,7 +23,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["grm_pallas", "gram_tri_kernel"]
 

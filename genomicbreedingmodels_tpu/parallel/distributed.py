@@ -14,7 +14,7 @@ Scale-out recipe (BASELINE north star, 100k x 1M panels over a pod slice):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

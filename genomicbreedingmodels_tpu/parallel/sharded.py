@@ -13,13 +13,12 @@ on a real pod slice and on the 8-device virtual CPU mesh used in tests.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 __all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression"]

@@ -22,8 +22,6 @@ __all__ = ["manhattan_data", "plot_manhattan", "plot_cv"]
 
 def _normal_logsf(z: np.ndarray) -> np.ndarray:
     """log10 two-sided normal p-value, stable for large |z|."""
-    from math import log10
-
     z = np.abs(z)
     # p = erfc(z / sqrt(2)); use scipy-free asymptotic-safe evaluation.
     try:

@@ -138,3 +138,29 @@ def test_ordinal_probit_response():
         gibbs_regression(X, y2, response_type="poisson")
     with pytest.raises(ValueError):
         gibbs_regression(X, np.ones(n), response_type="ordinal")  # 1 category
+
+
+def test_segmented_chain_is_bit_identical_and_resumable(tmp_path):
+    """Chunked execution carries the RNG in state: N short scans == one long
+    scan, and a checkpoint resume reproduces the straight run exactly."""
+    rng = np.random.default_rng(0)
+    X = rng.random((80, 200)).astype(np.float32)
+    b_true = np.zeros(200)
+    b_true[:4] = [1, -1, 0.5, 2]
+    y = X @ b_true + 0.3 * rng.normal(size=80)
+    mu1, b1, d1 = gibbs_regression(X, y, model="BayesC", n_iter=400, n_burnin=150, seed=3)
+    mu2, b2, d2 = gibbs_regression(
+        X, y, model="BayesC", n_iter=400, n_burnin=150, seed=3, chunk_size=75
+    )
+    assert abs(mu1 - mu2) < 1e-5
+    np.testing.assert_allclose(b1, b2, atol=1e-6)
+    np.testing.assert_allclose(d1["sigma_e2_trace"], d2["sigma_e2_trace"], atol=1e-6)
+
+    ck = str(tmp_path / "chain.npz")
+    # simulate a crash after 200 sweeps, then resume to 400
+    gibbs_regression(X, y, model="BayesC", n_iter=200, n_burnin=150, seed=3,
+                     chunk_size=100, checkpoint_path=ck)
+    mu3, b3, _ = gibbs_regression(X, y, model="BayesC", n_iter=400, n_burnin=150, seed=3,
+                                  chunk_size=100, checkpoint_path=ck)
+    assert abs(mu1 - mu3) < 1e-5
+    np.testing.assert_allclose(b1, b3, atol=1e-6)
