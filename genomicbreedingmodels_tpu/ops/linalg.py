@@ -133,46 +133,69 @@ def make_fold_masks(n: int, n_folds: int, seed: int = 42) -> np.ndarray:
 
 
 @jax.jit
-def _ridge_fold_losses(X: Array, y: Array, w: Array, lambdas: Array) -> Array:
-    """Validation squared-error sums for one fold across all λ.
+def _gram_and_stats(X: Array):
+    """Raw Gram + column sums: the one O(n²p) pass shared by all CV folds.
+
+    Masked/centered per-fold Grams derive from these in O(n²): with
+    m = fold-training column means and M = diag(w),
+      (M (X - 1 mᵀ)) (M (X - 1 mᵀ))ᵀ = M (G - X m 1ᵀ - 1 mᵀ Xᵀ + (m·m) 11ᵀ) M.
+    """
+    G = jnp.dot(X, X.T, preferred_element_type=jnp.float32)
+    return G, X
+
+
+@jax.jit
+def _ridge_fold_losses_fromgram(G: Array, X: Array, y: Array, w: Array, lambdas: Array):
+    """Validation squared-error sums for one fold across all λ, derived from
+    the shared raw Gram (no per-fold O(n²p) GEMM).
 
     w is the {0,1} training mask. Centering uses training-row means (glmnet
-    fits an unpenalized intercept). The masked Gram matrix is eigendecomposed
-    once; every λ shares the basis.
+    fits an unpenalized intercept). The masked Gram is eigendecomposed once;
+    every λ shares the basis.
     """
     n_tr = jnp.sum(w)
     mean_y = jnp.sum(w * y) / n_tr
-    mean_x = jnp.sum(w[:, None] * X, axis=0) / n_tr
-    Z = X - mean_x[None, :]
+    mean_x = jnp.sum(w[:, None] * X, axis=0) / n_tr  # O(np), cheap vs O(n²p)
+    Xm = jnp.dot(X, mean_x, preferred_element_type=jnp.float32)  # (n,)
+    mm = jnp.dot(mean_x, mean_x)
+    Gc = G - Xm[:, None] - Xm[None, :] + mm  # centered Gram Z Zᵀ
     yc = y - mean_y
-    A = w[:, None] * Z
-    K = jnp.dot(A, A.T, preferred_element_type=jnp.float32)  # = MZZᵀM
+    K = Gc * w[:, None] * w[None, :]
     s, U = jnp.linalg.eigh(K)
     s = jnp.maximum(s, 0.0)
     Ut_wy = U.T @ (w * yc)
     # gamma[:, l] = U diag(1/(s + n_tr*λ_l)) Uᵀ (w yc)
     denom = s[:, None] + n_tr * lambdas[None, :]
     gamma = U @ (Ut_wy[:, None] / denom)  # (n, L)
-    # ŷ(val rows) = mean_y + Z Aᵀ gamma ; Z Aᵀ = Z Zᵀ diag(w) = K_zw
-    K_zw = jnp.dot(Z, A.T, preferred_element_type=jnp.float32)
-    preds = mean_y + K_zw @ gamma  # (n, L)
+    # ŷ = mean_y + Z Zᵀ diag(w) gamma = Gc (w ⊙ gamma)
+    preds = mean_y + Gc @ (w[:, None] * gamma)  # (n, L)
     val = 1.0 - w
     err = (y[:, None] - preds) ** 2 * val[:, None]
     return jnp.sum(err, axis=0), jnp.sum(val)
 
 
+_ridge_folds_batch = jax.jit(
+    jax.vmap(_ridge_fold_losses_fromgram, in_axes=(None, None, None, 0, None))
+)
+
+
 @jax.jit
-def _ridge_full_beta(X: Array, y: Array, lam: Array) -> Tuple[Array, Array]:
-    """Full-data ridge coefficients at one λ via the dual system."""
-    n = X.shape[0]
+def _ridge_full_eigh(X: Array, y: Array):
+    """Full-data centered-Gram eigendecomposition, shared across all λ."""
     mean_y = jnp.mean(y)
     mean_x = jnp.mean(X, axis=0)
     Z = X - mean_x[None, :]
     yc = y - mean_y
     K = jnp.dot(Z, Z.T, preferred_element_type=jnp.float32)
     s, U = jnp.linalg.eigh(K)
-    s = jnp.maximum(s, 0.0)
-    gamma = U @ ((U.T @ yc) / (s + n * lam))
+    return jnp.maximum(s, 0.0), U, U.T @ yc, Z, mean_x, mean_y
+
+
+@jax.jit
+def _ridge_beta_from_eigh(s, U, Ut_yc, Z, mean_x, mean_y, lam: Array) -> Tuple[Array, Array]:
+    """Ridge coefficients at one λ from the cached eigenbasis (O(n² + np))."""
+    n = Z.shape[0]
+    gamma = U @ (Ut_yc / (s + n * lam))
     beta = jnp.dot(Z.T, gamma, preferred_element_type=jnp.float32)
     b0 = mean_y - jnp.dot(mean_x, beta)
     return b0, beta
@@ -197,18 +220,16 @@ def ridge_cv_path(
     n_folds = int(min(n_folds, n))
     lambdas = jnp.asarray(make_lambda_grid(X, y, n_lambda, lambda_min_ratio, alpha=0.0), dtype=jnp.float32)
     masks = make_fold_masks(n, n_folds, seed)
-    sums = np.zeros(n_lambda, dtype=np.float64)
-    counts = 0.0
-    for f in range(n_folds):
-        se, nv = _ridge_fold_losses(X, y, jnp.asarray(masks[f]), lambdas)
-        sums += np.asarray(se, dtype=np.float64)
-        counts += float(nv)
-    meanloss = sums / max(counts, 1.0)
+    # One O(n²p) Gram + ONE batched device call for all folds × all λ.
+    G, Xj = _gram_and_stats(X)
+    se, nv = _ridge_folds_batch(G, Xj, y, jnp.asarray(masks), lambdas)
+    meanloss = np.asarray(jnp.sum(se, axis=0), dtype=np.float64) / max(float(jnp.sum(nv)), 1.0)
     order = np.argsort(meanloss, kind="stable")
     b0, beta = 0.0, np.zeros(X.shape[1])
     chosen = int(order[0])
+    eig = _ridge_full_eigh(X, y)
     for i in order:
-        b0_i, beta_i = _ridge_full_beta(X, y, jnp.float32(float(lambdas[i])))
+        b0_i, beta_i = _ridge_beta_from_eigh(*eig, jnp.float32(float(lambdas[i])))
         beta_np = np.asarray(beta_i, dtype=np.float64)
         if np.var(beta_np, ddof=1) > 1e-10 or i == order[-1]:
             b0, beta, chosen = float(b0_i), beta_np, int(i)

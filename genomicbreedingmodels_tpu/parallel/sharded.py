@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression"]
+__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression", "sharded_gblup_cg"]
 
 
 def _local_centered(Xl: jnp.ndarray) -> jnp.ndarray:
@@ -143,6 +143,7 @@ def sharded_gibbs_regression(
     block_size: int = 64,
     r2: float = 0.5,
     device_schedule: str = "auto",
+    chunk_size: int = None,
 ) -> Tuple[float, np.ndarray]:
     """Marker-sharded Bayesian-alphabet Gibbs across the mesh `axis`.
 
@@ -202,9 +203,19 @@ def sharded_gibbs_regression(
     if device_schedule not in ("concurrent", "sequential"):
         raise ValueError(f"unknown device_schedule {device_schedule!r}")
     seq_rounds = D if device_schedule == "sequential" else 1
+    if chunk_size is None:
+        # Bound per-call sequential scan work (see models.bayesian: the axon
+        # tunnel kills very long single executions).
+        if float(n_iter) * p_pad > 4e6:
+            chunk_size = max(25, int(4e6 / p_pad))
+    # State sharding over the chain carry: marker-axis arrays are sharded,
+    # scalars/residual/latent replicated (matches _gibbs_chain's state0).
+    state_specs = (
+        P(axis), P(), P(axis), P(), P(), P(), P(), P(), P(axis), P(), P(), P(), P(),
+    )
 
-    def kernel(Xl, y, validl, key, hyper):
-        mu_hat, b_hat, _ = _gibbs_chain(
+    def kernel(Xl, y, validl, key, hyper, state, iters):
+        mu_hat, b_hat, _, state = _gibbs_chain(
             Xl, y, validl, key, hyper,
             model_id=_MODEL_IDS[model],
             n_iter=int(n_iter),
@@ -213,16 +224,109 @@ def sharded_gibbs_regression(
             n_blocks=per_dev // bs,
             axis_name=axis,
             seq_rounds=seq_rounds,
+            iters=iters,
+            state_in=state,
+            return_state=True,
         )
-        return mu_hat, b_hat
+        return mu_hat, b_hat, state
+
+    def kernel_first(Xl, y, validl, key, hyper, iters):
+        mu_hat, b_hat, _, state = _gibbs_chain(
+            Xl, y, validl, key, hyper,
+            model_id=_MODEL_IDS[model],
+            n_iter=int(n_iter),
+            n_burnin=int(n_burnin),
+            block_size=bs,
+            n_blocks=per_dev // bs,
+            axis_name=axis,
+            seq_rounds=seq_rounds,
+            iters=iters,
+            return_state=True,
+        )
+        return mu_hat, b_hat, state
+
+    base_in = (P(None, axis), P(), P(axis), P(), {k: P() for k in hyper})
+    fn_first = jax.jit(shard_map(
+        kernel_first, mesh=mesh, in_specs=base_in + (P(),),
+        out_specs=(P(), P(axis), state_specs),
+    ))
+    fn_next = jax.jit(shard_map(
+        kernel, mesh=mesh, in_specs=base_in + (state_specs, P()),
+        out_specs=(P(), P(axis), state_specs),
+    ))
+    Xj, yj, vj = jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid)
+    seg0 = int(min(chunk_size or n_iter, n_iter))
+    mu_hat, b_hat, state = fn_first(Xj, yj, vj, key, hyper, jnp.arange(seg0))
+    done = seg0
+    while done < n_iter:
+        seg = int(min(chunk_size, n_iter - done))
+        mu_hat, b_hat, state = fn_next(
+            Xj, yj, vj, key, hyper, state, jnp.arange(done, done + seg)
+        )
+        done += seg
+    return float(mu_hat), np.asarray(b_hat, dtype=np.float64)[:p]
+
+
+def sharded_gblup_cg(
+    X,
+    y,
+    lam: float,
+    mesh: Mesh,
+    axis: str = "mp",
+    n_iter: int = 200,
+    tol: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Matrix-free GBLUP solve at panel scale: (K + λI) α = y_c with
+    K = Z Zᵀ / p applied as two GEMVs through the marker-sharded panel —
+    the n x n GRM is NEVER materialized, so memory is O(n·p/D) per device
+    (the 100k-entry north-star config where K alone would be 40 GB).
+
+    Conjugate gradients with replicated scalars; each iteration costs one
+    local (n x p_l) GEMV pair + one psum of an n-vector over ICI.
+    Returns (alpha, gebv) replicated.
+    """
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n, p = X.shape
+    D = mesh.shape[axis]
+    p_pad = ((p + D - 1) // D) * D
+    Xp = np.zeros((n, p_pad), dtype=np.float32)
+    Xp[:, :p] = X
+
+    def kernel(Xl, y):
+        Zl = _local_centered(Xl.astype(jnp.float32))
+        p_total = jnp.float32(p)
+        yc = y - jnp.mean(y)
+        lam_f = jnp.float32(lam)
+
+        def matvec(v):
+            u = jnp.dot(Zl.T, v, preferred_element_type=jnp.float32)
+            Kv = jax.lax.psum(
+                jnp.dot(Zl, u, preferred_element_type=jnp.float32), axis
+            ) / p_total
+            return Kv + lam_f * v
+
+        def body(state):
+            alpha, r, pvec, rs, it = state
+            Ap = matvec(pvec)
+            a = rs / jnp.maximum(jnp.dot(pvec, Ap), 1e-30)
+            alpha = alpha + a * pvec
+            r = r - a * Ap
+            rs_new = jnp.dot(r, r)
+            pvec = r + (rs_new / jnp.maximum(rs, 1e-30)) * pvec
+            return alpha, r, pvec, rs_new, it + 1
+
+        def cond(state):
+            _, _, _, rs, it = state
+            return jnp.logical_and(it < n_iter, rs > tol * tol)
+
+        alpha0 = jnp.zeros_like(yc)
+        state = (alpha0, yc, yc, jnp.dot(yc, yc), jnp.int32(0))
+        alpha, *_ = jax.lax.while_loop(cond, body, state)
+        gebv = matvec(alpha) - lam_f * alpha + jnp.mean(y)
+        return alpha, gebv
 
     fn = shard_map(
-        kernel,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(), P(axis), P(), {k: P() for k in hyper}),
-        out_specs=(P(), P(axis)),
+        kernel, mesh=mesh, in_specs=(P(None, axis), P()), out_specs=(P(), P())
     )
-    mu_hat, b_hat = jax.jit(fn)(
-        jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key, hyper
-    )
-    return float(mu_hat), np.asarray(b_hat, dtype=np.float64)[:p]
+    return jax.jit(fn)(jnp.asarray(Xp), jnp.asarray(y))

@@ -78,10 +78,11 @@ def test_ridge_matches_closed_form_small():
     beta_true = rng.normal(size=p)
     y = X @ beta_true + rng.normal(scale=0.1, size=n)
     lam = 0.3
-    from genomicbreedingmodels_tpu.ops.linalg import _ridge_full_beta
+    from genomicbreedingmodels_tpu.ops.linalg import _ridge_beta_from_eigh, _ridge_full_eigh
     import jax.numpy as jnp
 
-    b0, beta = _ridge_full_beta(jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32), jnp.float32(lam))
+    eig = _ridge_full_eigh(jnp.asarray(X, jnp.float32), jnp.asarray(y, jnp.float32))
+    b0, beta = _ridge_beta_from_eigh(*eig, jnp.float32(lam))
     Xc = X - X.mean(axis=0)
     yc = y - y.mean()
     beta_ref = np.linalg.solve(Xc.T @ Xc + n * lam * np.eye(p), Xc.T @ yc)

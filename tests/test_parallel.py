@@ -101,3 +101,23 @@ def test_distributed_helpers_single_process():
     assert mesh2.shape["dp"] == 2 and mesh2.shape["mp"] == 4
     start, stop = process_local_panel_slice(1000)
     assert (start, stop) == (0, 1000)
+
+
+def test_sharded_gblup_cg_matches_dense():
+    """Matrix-free CG GBLUP (K never materialized) == dense Cholesky solve."""
+    import jax
+    from genomicbreedingmodels_tpu.parallel.mesh import make_mesh
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_gblup_cg
+
+    rng = np.random.default_rng(0)
+    n, p = 200, 1000
+    X = rng.random((n, p)).astype(np.float32)
+    y = (X[:, :20] @ rng.normal(size=20) + 0.5 * rng.normal(size=n)).astype(np.float32)
+    mesh = make_mesh(shape=(1, 8))
+    alpha, gebv = sharded_gblup_cg(X, y, lam=0.1, mesh=mesh)
+    Z = X - X.mean(0)
+    K = Z @ Z.T / p
+    a_ref = np.linalg.solve(K + 0.1 * np.eye(n), y - y.mean())
+    g_ref = K @ a_ref + y.mean()
+    assert np.abs(np.asarray(alpha) - a_ref).max() < 1e-4
+    assert np.corrcoef(np.asarray(gebv), g_ref)[0, 1] > 0.999

@@ -67,3 +67,18 @@ def test_sharded_unknown_model(problem, mesh):
         sharded_gibbs_regression(X, y, mesh, model="nope")
     with pytest.raises(ValueError):
         sharded_gibbs_regression(X, y, mesh, model="BayesC", device_schedule="bogus")
+
+
+def test_sharded_chunked_equals_single_call(problem, mesh):
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_gibbs_regression
+
+    X, y = problem
+    mu1, b1 = sharded_gibbs_regression(
+        X, y, mesh, axis="mp", model="BayesC", n_iter=200, n_burnin=80, seed=4
+    )
+    mu2, b2 = sharded_gibbs_regression(
+        X, y, mesh, axis="mp", model="BayesC", n_iter=200, n_burnin=80, seed=4,
+        chunk_size=60,
+    )
+    assert abs(mu1 - mu2) < 1e-5
+    np.testing.assert_allclose(b1, b2, atol=1e-5)
