@@ -50,6 +50,7 @@ from .io import (
     read_bed,
     read_genomes_tsv,
     read_phenomes_tsv,
+    read_vcf,
     write_bed,
     write_genomes_tsv,
     write_phenomes_tsv,
@@ -119,6 +120,7 @@ __all__ = [
     "plot_cv",
     "read_genomes_tsv",
     "read_phenomes_tsv",
+    "read_vcf",
     "write_bed",
     "write_genomes_tsv",
     "write_phenomes_tsv",

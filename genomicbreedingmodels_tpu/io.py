@@ -35,6 +35,7 @@ __all__ = [
     "read_phenomes_tsv",
     "write_bed",
     "read_bed",
+    "read_vcf",
 ]
 
 _BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
@@ -201,22 +202,46 @@ def write_bed(genomes: Genomes, prefix: Union[str, os.PathLike]) -> None:
             fh.write(f"{chrom}\t{_escape(name)}\t0\t{pos}\t{a1}\t{a2}\n")
 
 
-def read_bed(prefix: Union[str, os.PathLike]) -> Genomes:
-    """Read a `<prefix>.bed/.fam/.bim` trio into a Genomes struct."""
+def read_bed(
+    prefix: Union[str, os.PathLike],
+    marker_range: "tuple[int, int] | None" = None,
+) -> Genomes:
+    """Read a `<prefix>.bed/.fam/.bim` trio into a Genomes struct.
+
+    `marker_range=(start, stop)` reads only that column slice of the .bed
+    payload (a contiguous byte range — SNP-major layout), so each host of a
+    multi-process run can load just its shard; pair with
+    `parallel.distributed.process_local_panel_slice`.
+    """
     prefix = Path(prefix)
     fam = np.loadtxt(prefix.with_suffix(".fam"), dtype=str, delimiter="\t", ndmin=2)
     bim = np.loadtxt(prefix.with_suffix(".bim"), dtype=str, delimiter="\t", ndmin=2)
     entries = fam[:, 1].astype(object)
     populations = fam[:, 0].astype(object)
     loci_alleles = np.asarray([_unescape(x) for x in bim[:, 1]], dtype=object)
-    n, p = len(entries), len(loci_alleles)
-    raw = np.fromfile(prefix.with_suffix(".bed"), dtype=np.uint8)
-    if raw[:3].tobytes() != _BED_MAGIC:
-        raise ValueError(f"{prefix}.bed: bad PLINK magic (or sample-major, unsupported)")
-    payload = np.ascontiguousarray(raw[3:])
+    n, p_total = len(entries), len(loci_alleles)
     bytes_per_snp = (n + 3) // 4
+    bed_path = prefix.with_suffix(".bed")
+    if marker_range is not None:
+        start, stop = int(marker_range[0]), int(marker_range[1])
+        if not (0 <= start <= stop <= p_total):
+            raise ValueError(f"marker_range {marker_range} out of bounds for {p_total} markers")
+        p = stop - start
+        loci_alleles = loci_alleles[start:stop]
+        with open(bed_path, "rb") as fh:
+            if fh.read(3) != _BED_MAGIC:
+                raise ValueError(f"{bed_path}: bad PLINK magic (or sample-major, unsupported)")
+            fh.seek(3 + start * bytes_per_snp)
+            payload = np.frombuffer(fh.read(p * bytes_per_snp), dtype=np.uint8)
+        payload = np.ascontiguousarray(payload)
+    else:
+        p = p_total
+        raw = np.fromfile(bed_path, dtype=np.uint8)
+        if raw[:3].tobytes() != _BED_MAGIC:
+            raise ValueError(f"{bed_path}: bad PLINK magic (or sample-major, unsupported)")
+        payload = np.ascontiguousarray(raw[3:])
     if len(payload) < bytes_per_snp * p:
-        raise ValueError(f"{prefix}.bed: truncated payload")
+        raise ValueError(f"{bed_path}: truncated payload")
     F = np.empty((n, p), dtype=np.float64)
     lib = load_native()
     if lib is not None:
@@ -239,4 +264,85 @@ def read_bed(prefix: Union[str, os.PathLike]) -> Genomes:
     )
     if not g.checkdims():
         raise ValueError(f"{prefix}: inconsistent PLINK trio")
+    return g
+
+
+# ---------------------------------------------------------------------------
+# VCF (single-ALT diploid GT records)
+# ---------------------------------------------------------------------------
+
+
+def read_vcf(path: Union[str, os.PathLike], population: str = "unknown") -> Genomes:
+    """Read a VCF into a Genomes struct (GT dosage / 2 as allele frequency).
+
+    Supports the common genomic-prediction case: diploid GT first in FORMAT,
+    one ALT per record ('0/0' -> 0.0, het -> 0.5, '1/1' -> 1.0, missing ->
+    NaN; '/' and '|' separators). Locus names use the framework's
+    'chrom<TAB>pos<TAB>REF|ALT<TAB>ALT' convention so GWAS plots and .bed
+    round-trips work. Native C++ GT parser with a pure-Python fallback.
+    """
+    path = Path(path)
+    samples = None
+    meta = []
+    with open(path, "r") as fh:
+        for line in fh:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                samples = line.rstrip("\n").split("\t")[9:]
+                continue
+            parts = line.rstrip("\n").split("\t", 5)
+            if len(parts) < 5:
+                raise ValueError(f"{path}: malformed VCF record: {line[:60]!r}")
+            meta.append((parts[0], parts[1], parts[3], parts[4]))
+    if samples is None:
+        raise ValueError(f"{path}: no #CHROM header line")
+    n, p = len(samples), len(meta)
+    if p == 0:
+        raise ValueError(f"{path}: no records")
+
+    lib = load_native()
+    F = np.empty((n, p), dtype=np.float64)
+    if lib is not None:
+        import ctypes
+
+        nr, ns, hdr = ctypes.c_long(), ctypes.c_long(), ctypes.c_long()
+        rc = lib.gbmio_vcf_dims(str(path).encode(), ctypes.byref(nr), ctypes.byref(ns), ctypes.byref(hdr))
+        if rc != 0 or nr.value != p or ns.value != n:
+            raise ValueError(f"{path}: VCF dims mismatch (rc={rc}, {nr.value}x{ns.value} vs {p}x{n})")
+        bad = ctypes.c_long()
+        rc = lib.gbmio_vcf_parse(
+            str(path).encode(), F.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            p, n, 0, ctypes.byref(bad),
+        )
+        if rc != 0:
+            raise ValueError(f"{path}: VCF parse failed (rc={rc}, record {bad.value})")
+    else:
+        with open(path, "r") as fh:
+            r = 0
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                for s_i, field in enumerate(fields[9 : 9 + n]):
+                    gt = field.split(":", 1)[0].replace("|", "/")
+                    alleles = gt.split("/")
+                    if any(a in (".", "") for a in alleles):
+                        F[s_i, r] = np.nan
+                    else:
+                        alt = sum(1 for a in alleles if int(a) > 0)
+                        F[s_i, r] = min(alt, 2) * 0.5
+                r += 1
+
+    loci_alleles = np.asarray(
+        [f"{c}\t{pos}\t{ref}|{alt}\t{alt}" for c, pos, ref, alt in meta], dtype=object
+    )
+    g = Genomes(
+        entries=np.asarray(samples, dtype=object),
+        populations=np.asarray([population] * n, dtype=object),
+        loci_alleles=loci_alleles,
+        allele_frequencies=F,
+    )
+    if not g.checkdims():
+        raise ValueError(f"{path}: inconsistent VCF panel")
     return g

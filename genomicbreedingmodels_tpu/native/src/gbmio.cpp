@@ -245,3 +245,136 @@ int gbmio_col_means(const double* x, long n, long p, double* means, int n_thread
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// VCF: parse the GT fields of simple (single-ALT, diploid) records into
+// allele-frequency dosages. Threads split the record range; each record row
+// writes column r of out (n_samples x n_records, row-major n_samples rows).
+// Genotype mapping: 0/0 -> 0.0, 0/1 or 1/0 -> 0.5, 1/1 -> 1.0, missing or
+// half-missing -> NaN; separators '/' and '|' both accepted; multi-allelic
+// codes (>1) count as alt copies clamped to 2.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// First pass: count data records and samples. Returns 0 on success.
+int gbmio_vcf_dims(const char* path, long* n_records, long* n_samples,
+                   long* header_line_index) {
+    std::vector<char> buf;
+    if (!read_file(path, buf)) return -1;
+    std::vector<size_t> starts;
+    index_lines(buf, starts);
+    long records = 0, samples = -1, header_idx = -1;
+    for (size_t li = 0; li < starts.size(); ++li) {
+        size_t i = starts[li];
+        if (buf[i] == '#') {
+            if (i + 1 < buf.size() && buf[i + 1] != '#') {
+                // #CHROM header: count tab-separated fields beyond FORMAT.
+                long fields = 1;
+                for (size_t j = i; j < buf.size() && buf[j] != '\n'; ++j)
+                    if (buf[j] == '\t') ++fields;
+                samples = fields - 9;
+                header_idx = static_cast<long>(li);
+            }
+            continue;
+        }
+        ++records;
+    }
+    if (samples < 0) return -2;
+    *n_records = records;
+    *n_samples = samples;
+    *header_line_index = header_idx;
+    return 0;
+}
+
+// Second pass: fill out (n_samples x n_records) and per-record metadata
+// offsets are not extracted here (Python reads CHROM/POS/REF/ALT cheaply).
+int gbmio_vcf_parse(const char* path, double* out, long n_records,
+                    long n_samples, int n_threads, long* bad_record) {
+    std::vector<char> buf;
+    if (!read_file(path, buf)) return -1;
+    std::vector<size_t> starts;
+    index_lines(buf, starts);
+    std::vector<size_t> rec_starts;
+    rec_starts.reserve(static_cast<size_t>(n_records));
+    for (size_t li = 0; li < starts.size(); ++li) {
+        if (buf[starts[li]] != '#') rec_starts.push_back(starts[li]);
+    }
+    if (static_cast<long>(rec_starts.size()) != n_records) return -2;
+    *bad_record = -1;
+    std::atomic<long> first_bad{-1};
+    int nt = hw_threads(n_threads);
+    long chunk = (n_records + nt - 1) / nt;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long r0 = t * chunk;
+        long r1 = std::min(n_records, r0 + chunk);
+        if (r0 >= r1) break;
+        threads.emplace_back([&, r0, r1]() {
+            for (long r = r0; r < r1; ++r) {
+                size_t i = rec_starts[static_cast<size_t>(r)];
+                size_t end = i;
+                while (end < buf.size() && buf[end] != '\n') ++end;
+                // Skip 9 fixed columns (CHROM..FORMAT).
+                long col = 0;
+                size_t j = i;
+                while (j < end && col < 9) {
+                    if (buf[j] == '\t') ++col;
+                    ++j;
+                }
+                long s = 0;
+                while (j < end && s < n_samples) {
+                    // GT is the first sub-field (up to ':' or '\t').
+                    int a0 = -2, a1 = -2;  // -2 unset, -1 missing
+                    int cur = -2;
+                    bool done_gt = false;
+                    size_t k = j;
+                    for (; k <= end; ++k) {
+                        char c = (k == end) ? '\t' : buf[k];
+                        if (c == '\t' || c == ':') {
+                            if (!done_gt) {
+                                if (a0 == -2) a0 = cur;
+                                else if (a1 == -2) a1 = cur;
+                                done_gt = true;
+                            }
+                            if (c == ':') {
+                                // skip remainder of this sample field
+                                while (k < end && buf[k] != '\t') ++k;
+                            }
+                            break;
+                        } else if (c == '/' || c == '|') {
+                            if (a0 == -2) a0 = cur;
+                            cur = -2;
+                        } else if (c == '.') {
+                            cur = -1;
+                        } else if (c >= '0' && c <= '9') {
+                            cur = (cur < 0 ? 0 : cur) * 10 + (c - '0');
+                        }
+                    }
+                    if (!done_gt) { a1 = cur; }
+                    if (a1 == -2) a1 = cur;
+                    double v;
+                    if (a0 < 0 || a1 < 0) {
+                        v = std::numeric_limits<double>::quiet_NaN();
+                    } else {
+                        int alt = (a0 > 0 ? 1 : 0) + (a1 > 0 ? 1 : 0);
+                        v = alt * 0.5;
+                    }
+                    out[s * n_records + r] = v;
+                    ++s;
+                    j = k + 1;
+                }
+                if (s != n_samples) {
+                    long expect = -1;
+                    first_bad.compare_exchange_strong(expect, r);
+                    return;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    if (first_bad.load() >= 0) { *bad_record = first_bad.load(); return -3; }
+    return 0;
+}
+
+}  // extern "C"

@@ -115,3 +115,87 @@ def test_io_feeds_models(tmp_path):
     p2 = read_phenomes_tsv(tmp_path / "p.tsv")
     fit = gbm.ridge(g2, p2, idx_trait=0)
     assert fit.metrics["cor"] > 0.5
+
+
+def _write_test_vcf(path, n_samples=5, n_records=8, seed=0):
+    rng = np.random.default_rng(seed)
+    gts = ["0/0", "0/1", "1/1", "./.", "0|1", "1|1"]
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("##source=test\n")
+        names = [f"s{i}" for i in range(n_samples)]
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + "\t".join(names) + "\n")
+        expect = np.zeros((n_samples, n_records))
+        for r in range(n_records):
+            row = [gts[rng.integers(0, len(gts))] for _ in range(n_samples)]
+            for s, g in enumerate(row):
+                gg = g.replace("|", "/")
+                expect[s, r] = np.nan if "." in gg else sum(int(a) > 0 for a in gg.split("/")) * 0.5
+            fh.write(f"chr{1 + r % 2}\t{1000 + r}\trs{r}\tA\tG\t50\tPASS\t.\tGT:DP\t"
+                     + "\t".join(f"{g}:{rng.integers(5, 40)}" for g in row) + "\n")
+    return expect
+
+
+def test_read_vcf_native_and_fallback(tmp_path):
+    import genomicbreedingmodels_tpu.io as gio
+
+    path = tmp_path / "panel.vcf"
+    expect = _write_test_vcf(path)
+    g = gio.read_vcf(path, population="popA")
+    assert g.n == 5 and g.p == 8
+    np.testing.assert_array_equal(g.allele_frequencies, expect)
+    assert g.loci_alleles[0].startswith("chr1\t1000\tA|G\tG")
+    assert set(g.populations) == {"popA"}
+
+    real = gio.load_native
+    gio.load_native = lambda: None
+    try:
+        g2 = gio.read_vcf(path)
+    finally:
+        gio.load_native = real
+    np.testing.assert_array_equal(g2.allele_frequencies, expect)
+
+
+def test_read_vcf_feeds_models(tmp_path):
+    """A VCF panel drives a fit end-to-end (GWAS plot coordinates included)."""
+    import genomicbreedingmodels_tpu as gbm
+
+    rng = np.random.default_rng(1)
+    n, p = 60, 120
+    gts = np.asarray(["0/0", "0/1", "1/1"])
+    codes = rng.integers(0, 3, size=(n, p))
+    path = tmp_path / "big.vcf"
+    with open(path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(f"e{i}" for i in range(n)) + "\n")
+        for r in range(p):
+            fh.write(f"chr1\t{r + 1}\t.\tA\tT\t.\t.\t.\tGT\t"
+                     + "\t".join(gts[codes[i, r]] for i in range(n)) + "\n")
+    g = gbm.read_vcf(path)
+    y = g.allele_frequencies[:, :3] @ [2.0, -1.5, 1.0] + 0.2 * rng.normal(size=n)
+    ph = gbm.Phenomes(entries=g.entries, populations=g.populations,
+                      traits=np.asarray(["t"], dtype=object), phenotypes=y[:, None])
+    fit = gbm.ridge(g, ph)
+    assert fit.metrics["cor"] > 0.8
+
+
+def test_read_bed_marker_range(tmp_path, sim_small):
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.io import read_bed, write_bed
+
+    genomes, _, _ = sim_small
+    sub = genomes.slice(idx_entries=list(range(21)), idx_loci_alleles=list(range(50)))
+    sub.allele_frequencies = np.round(np.asarray(sub.allele_frequencies) * 2) / 2
+    write_bed(sub, tmp_path / "rng")
+    full = read_bed(tmp_path / "rng")
+    part = read_bed(tmp_path / "rng", marker_range=(10, 35))
+    assert part.p == 25
+    np.testing.assert_array_equal(
+        part.allele_frequencies, full.allele_frequencies[:, 10:35]
+    )
+    np.testing.assert_array_equal(part.loci_alleles, full.loci_alleles[10:35])
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_bed(tmp_path / "rng", marker_range=(40, 60))
