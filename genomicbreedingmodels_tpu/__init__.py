@@ -42,7 +42,7 @@ from .models.bayesian import (
     bglr,
 )
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
-from .models.gblup import gblup, reml_variance_components
+from .models.gblup import gblup, gblup_multitrait, reml_variance_components
 from .models.mlp import mlp
 from .cv.batched import cvbulk_batched
 from .plots import manhattan_data, plot_cv, plot_manhattan
@@ -113,6 +113,7 @@ __all__ = [
     "gibbs_regression",
     "bglr",
     "gblup",
+    "gblup_multitrait",
     "mlp",
     "read_bed",
     "manhattan_data",

@@ -83,3 +83,28 @@ def test_gblup_marker_effects_match_rrblup_equivalence(h2_half):
     gebv_kinship = s2u * K @ np.linalg.solve(s2u * K + s2e * np.eye(len(yc)), yc)
     gebv_markers = fit.y_pred - fit.y_pred.mean()
     assert np.corrcoef(gebv_kinship, gebv_markers)[0, 1] > 0.999
+
+
+def test_gblup_multitrait_matches_single_trait():
+    """One GRM + one eigh shared across traits must reproduce per-trait fits
+    exactly; traits with missing records fall back to the per-trait path."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes = gbm.simulate_genomes(n=100, l=600, seed=1)
+    trials, _ = gbm.simulate_trials(
+        genomes,
+        f_add_dom_epi=np.array([[0.5, 0.05, 0.05], [0.3, 0.0, 0.0], [0.6, 0.1, 0.1]]),
+        seed=1,
+    )
+    ph = gbm.extract_phenomes(trials)
+    ph.phenotypes[5:9, 2] = np.nan  # exercise the incomplete-trait path
+    fits = gbm.gblup_multitrait(genomes, ph)
+    assert [f.trait for f in fits] == [str(t) for t in ph.traits]
+    for idx, fit in enumerate(fits):
+        single = gbm.gblup(genomes, ph, idx_trait=idx)
+        assert abs(fit.metrics["cor"] - single.metrics["cor"]) < 1e-3
+        assert abs(fit.extras["h2"] - single.extras["h2"]) < 1e-3
+    import pytest
+
+    with pytest.raises(ValueError):
+        gbm.gblup_multitrait(genomes, ph, GRM_type="nope")
