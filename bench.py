@@ -5,12 +5,13 @@ star is SNPs/s/chip for the GRM+GBLUP solve. One chip processes an n x p SNP
 panel: centered Gram matrix (bf16 operands, f32 accumulation on the MXU),
 Cholesky mixed-model solve, GEBV prediction. Prints ONE JSON line.
 
-Kernel selection: the default is the fused XLA GEMM. The triangular Pallas
-kernel (ops/pallas_kernels.py) measures ~1.4x faster steady-state
-(11.95 vs 8.45 GSNP/s at 8192 x 131072 — only lower tiles are computed or
-DMA'd), but its first-time compilation through this environment's axon
-tunnel takes ~6 minutes, so it is opt-in here via GBM_BENCH_PALLAS=1 to keep
-the driver's bench run inside its budget.
+Kernel selection: the default is the triangular-blocked XLA GRM
+(ops/grm.py:gram_triangular) — only lower row-block tiles are computed,
+upper filled by transpose. Measured at 8192 x 262144 bf16: 13.6 GSNP/s vs
+8.9 for the single fused GEMM and 12.0 for the Pallas kernel
+(ops/pallas_kernels.py), and it compiles in seconds. The Pallas kernel
+stays opt-in via GBM_BENCH_PALLAS=1 (first-time compilation through this
+environment's axon tunnel takes ~6 minutes).
 
 Notes for this environment:
 - under the axon TPU tunnel `block_until_ready` does not synchronize, so
@@ -47,11 +48,7 @@ def main() -> None:
         def grm(X):
             return grm_pallas(X, interpret=False)
     else:
-        @jax.jit
-        def grm(X):
-            mean = jnp.mean(X, axis=0, keepdims=True, dtype=jnp.float32)
-            Z = X - mean.astype(X.dtype)
-            return jnp.dot(Z, Z.T, preferred_element_type=jnp.float32)
+        from genomicbreedingmodels_tpu.ops.grm import gram_triangular as grm
 
     @jax.jit
     def gblup_solve(K, y):

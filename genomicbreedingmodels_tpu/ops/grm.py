@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["gram_centered", "gram_centered_blocked", "gram_centered_device"]
+__all__ = [
+    "gram_centered",
+    "gram_centered_blocked",
+    "gram_centered_device",
+    "gram_triangular",
+]
 
 
 @partial(jax.jit, static_argnames=("center",))
@@ -48,19 +53,65 @@ def gram_centered_blocked(X: np.ndarray, block_cols: int = 262_144) -> np.ndarra
     return gram_centered(X, block_cols=block_cols)
 
 
-def gram_centered_device(X, use_pallas: bool | None = None) -> jnp.ndarray:
-    """Device-resident centered Gram: returns a jnp (n, n) f32 array.
+@partial(jax.jit, static_argnames=("center", "nb"))
+def _gram_triangular(X: jnp.ndarray, center: bool, nb: int) -> jnp.ndarray:
+    n = X.shape[0]
+    if center:
+        mean = jnp.mean(X, axis=0, keepdims=True, dtype=jnp.float32)
+        Z = X - mean.astype(X.dtype)
+    else:
+        Z = X
+    b = -(-n // nb)
+    pad = nb * b - n
+    if pad:
+        Z = jnp.pad(Z, ((0, pad), (0, 0)))
+    tiles = {}
+    for i in range(nb):
+        Zi = jax.lax.dynamic_slice_in_dim(Z, i * b, b, 0)
+        for j in range(i + 1):
+            Zj = jax.lax.dynamic_slice_in_dim(Z, j * b, b, 0)
+            tiles[(i, j)] = jnp.dot(Zi, Zj.T, preferred_element_type=jnp.float32)
+    rows = [
+        jnp.concatenate(
+            [tiles[(i, j)] if j <= i else tiles[(j, i)].T for j in range(nb)], axis=1
+        )
+        for i in range(nb)
+    ]
+    K = jnp.concatenate(rows, axis=0)
+    return K[:n, :n] if pad else K
 
-    On TPU this dispatches to the triangular Pallas kernel (~1.4x the XLA
-    GEMM — only lower tiles are computed or streamed); elsewhere it uses the
-    fused XLA path. Input may be any float dtype; bf16 inputs keep the MXU at
-    full rate.
+
+def gram_triangular(X, center: bool = True, nb: int | None = None) -> jnp.ndarray:
+    """Centered Gram via a triangular schedule of row-block GEMMs (pure XLA).
+
+    Only the lower-triangular n/nb x n/nb tiles are computed; the upper
+    half is filled by transposition. Measured on the TPU chip at
+    8192 x 262144 bf16: 13.6 GSNP/s vs 8.9 for the single fused GEMM and
+    12.0 for the Pallas kernel — and it compiles in seconds, unlike Pallas
+    through this environment's tunnel. nb=8 (1024-row blocks) is the sweet
+    spot; nb is capped so blocks never shrink below ~1024 rows.
     """
     X = jnp.asarray(X)
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+    n = X.shape[0]
+    if nb is None:
+        nb = max(2, min(8, n // 1024))
+    if n < 2048 or nb < 2:
+        return _gram_full(X, center=center)
+    return _gram_triangular(X, center, int(nb))
+
+
+def gram_centered_device(X, use_pallas: bool = False) -> jnp.ndarray:
+    """Device-resident centered Gram: returns a jnp (n, n) f32 array.
+
+    Default is the triangular-blocked XLA path (`gram_triangular`) — the
+    fastest measured variant on the real chip. The Pallas kernel remains
+    opt-in (`use_pallas=True`): it is slightly slower and its first compile
+    through the axon tunnel costs minutes. Input may be any float dtype;
+    bf16 inputs keep the MXU at full rate.
+    """
+    X = jnp.asarray(X)
     if use_pallas:
         from .pallas_kernels import grm_pallas
 
         return grm_pallas(X, interpret=False)
-    return _gram_full(X)
+    return gram_triangular(X)
