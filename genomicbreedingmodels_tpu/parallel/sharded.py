@@ -36,9 +36,15 @@ def sharded_grm(X, mesh: Mesh) -> jnp.ndarray:
     """
 
     def kernel(Xl):
-        Zl = _local_centered(Xl.astype(jnp.float32))
-        Gl = jnp.dot(Zl, Zl.T, preferred_element_type=jnp.float32)
-        return jax.lax.psum(Gl, axis_name="mp")
+        # Raw local Gram (operands stay in the input dtype — bf16 panels feed
+        # the MXU at full rate), summed over marker shards via psum on ICI,
+        # then double-centered once: K = P (Σ_d X_d X_dᵀ) P. Same algebra as
+        # the single-chip path (ops/grm.py:center_gram) — no centered panel
+        # copy, no f32 upcast of the shard.
+        from ..ops.grm import center_gram
+
+        Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.float32)
+        return center_gram(jax.lax.psum(Gl, axis_name="mp"))
 
     fn = shard_map(
         kernel, mesh=mesh, in_specs=(P(None, "mp"),), out_specs=P()

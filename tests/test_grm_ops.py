@@ -26,7 +26,7 @@ def test_gram_triangular_uncentered_and_default_nb():
     assert np.abs(K - X @ X.T).max() < 1e-4
 
 
-def test_gram_centered_device_default_is_triangular():
+def test_gram_centered_device_default_matches_dense():
     from genomicbreedingmodels_tpu.ops.grm import gram_centered_device
 
     rng = np.random.default_rng(3)
@@ -34,3 +34,58 @@ def test_gram_centered_device_default_is_triangular():
     K = np.asarray(gram_centered_device(X))
     Z = X - X.mean(axis=0, keepdims=True)
     assert np.abs(K - Z @ Z.T).max() < 1e-4
+
+
+@pytest.mark.parametrize("n,nb2", [(64, 4), (100, 3), (257, 4), (2048, None)])
+def test_gram_panel_matches_dense(n, nb2):
+    from genomicbreedingmodels_tpu.ops.grm import gram_panel
+
+    rng = np.random.default_rng(6)
+    X = rng.random((n, 41)).astype(np.float32)
+    K = np.asarray(gram_panel(X, nb=nb2))
+    Z = X - X.mean(axis=0, keepdims=True)
+    Kd = Z @ Z.T
+    assert K.shape == (n, n)
+    assert np.abs(K - Kd).max() < 1e-3
+    Kraw = np.asarray(gram_panel(X, center=False, nb=nb2))
+    assert np.abs(Kraw - X @ X.T).max() < 1e-3
+
+
+@pytest.mark.parametrize("n,depth", [(64, 2), (100, 3), (257, 2), (2048, None)])
+def test_gram_recursive_matches_dense(n, depth):
+    from genomicbreedingmodels_tpu.ops.grm import gram_recursive
+
+    rng = np.random.default_rng(4)
+    X = rng.random((n, 41)).astype(np.float32)
+    K = np.asarray(gram_recursive(X, depth=depth))
+    Z = X - X.mean(axis=0, keepdims=True)
+    Kd = Z @ Z.T
+    assert K.shape == (n, n)
+    assert np.abs(K - Kd).max() < 1e-3
+    Kraw = np.asarray(gram_recursive(X, center=False, depth=depth))
+    assert np.abs(Kraw - X @ X.T).max() < 1e-3
+
+
+def test_gram_recursive_algebraic_centering_beats_bf16_centering():
+    """The rank-1 correction runs in f32 while operands stay bf16 — it must
+    be substantially closer to the f64 dense reference than the naive
+    bf16-subtract path (measured ~90x at 512x8192 on TPU)."""
+    import jax.numpy as jnp
+
+    from genomicbreedingmodels_tpu.ops.grm import gram_recursive
+
+    rng = np.random.default_rng(5)
+    X64 = rng.random((128, 2048))
+    Xb = jnp.asarray(X64, dtype=jnp.bfloat16)
+    X64 = np.asarray(Xb, dtype=np.float64)  # what the device actually sees
+    Z = X64 - X64.mean(axis=0, keepdims=True)
+    K64 = Z @ Z.T
+    K_alg = np.asarray(gram_recursive(Xb, depth=2), dtype=np.float64)
+    mean_bf = np.asarray(jnp.asarray(X64.mean(axis=0), jnp.bfloat16), np.float64)
+    Zb = np.asarray(jnp.asarray(X64 - mean_bf, jnp.bfloat16), np.float64)
+    K_bf16 = Zb @ Zb.T
+    den = np.abs(K64).max()
+    err_alg = np.abs(K_alg - K64).max() / den
+    err_bf16 = np.abs(K_bf16 - K64).max() / den
+    assert err_alg < err_bf16 / 5
+    assert err_alg < 1e-4
