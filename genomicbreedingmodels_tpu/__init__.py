@@ -37,7 +37,10 @@ from .models.bayesian import (
     bayesc,
     bayesian,
     bayesian_lasso,
+    bayesian_lasso_pi,
     bayesian_ridge,
+    bayest,
+    bayestpi,
     gibbs_regression,
     bglr,
 )
@@ -110,6 +113,9 @@ __all__ = [
     "bayesian",
     "bayesian_ridge",
     "bayesian_lasso",
+    "bayesian_lasso_pi",
+    "bayest",
+    "bayestpi",
     "gibbs_regression",
     "bglr",
     "gblup",

@@ -27,7 +27,7 @@ from ..core.structs import CV, Fit, Genomes, Phenomes
 from ..ops.metrics import metrics
 from ..prediction import predict
 from ..models.linear import lasso, ols, ridge
-from ..models.bayesian import bayesa, bayesb, bayesc, bayesian_lasso, bayesian_ridge
+from ..models.bayesian import bayesa, bayesb, bayesc, bayesian_lasso, bayesian_lasso_pi, bayesian_ridge, bayest, bayestpi
 from ..models.gblup import gblup
 from ..models.mlp import mlp
 
@@ -51,6 +51,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., Fit]] = {
     "bayesc": bayesc,
     "bayesian_ridge": bayesian_ridge,
     "bayesian_lasso": bayesian_lasso,
+    "bayesian_lasso_pi": bayesian_lasso_pi,
+    "bayest": bayest,
+    "bayestpi": bayestpi,
     "gblup": gblup,
     "mlp": mlp,
 }

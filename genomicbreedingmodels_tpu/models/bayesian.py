@@ -44,10 +44,13 @@ __all__ = [
     "bayesc",
     "bayesian_ridge",
     "bayesian_lasso",
+    "bayesian_lasso_pi",
+    "bayest",
+    "bayestpi",
     "BAYESIAN_MODELS",
 ]
 
-BAYESIAN_MODELS = ("BayesA", "BayesB", "BayesC", "BRR", "BL")
+BAYESIAN_MODELS = ("BayesA", "BayesB", "BayesC", "BRR", "BL", "BLPi", "BayesT", "BayesTPi")
 
 _MODEL_IDS = {m: i for i, m in enumerate(BAYESIAN_MODELS)}
 
@@ -129,9 +132,18 @@ def _gibbs_chain(
     pi_counts = hyper["pi_counts"]
     p_real = _psum(jnp.sum(valid))
 
-    has_indicator = model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
-    per_marker_var = model_id in (_MODEL_IDS["BayesA"], _MODEL_IDS["BayesB"], _MODEL_IDS["BL"])
-    is_bl = model_id == _MODEL_IDS["BL"]
+    has_indicator = model_id in (
+        _MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"], _MODEL_IDS["BLPi"], _MODEL_IDS["BayesTPi"],
+    )
+    per_marker_var = model_id in (
+        _MODEL_IDS["BayesA"], _MODEL_IDS["BayesB"], _MODEL_IDS["BL"],
+        _MODEL_IDS["BLPi"], _MODEL_IDS["BayesT"], _MODEL_IDS["BayesTPi"],
+    )
+    is_bl = model_id in (_MODEL_IDS["BL"], _MODEL_IDS["BLPi"])
+    # BayesT/BayesTπ (reference dead-code spec, src/bayes.jl:745-855): fixed
+    # unscaled t prior — the per-marker scaled-inv-χ² machinery of BayesA but
+    # with the hyper-scale S pinned instead of Gamma-updated.
+    fixed_scale = model_id in (_MODEL_IDS["BayesT"], _MODEL_IDS["BayesTPi"])
 
     def block_step(carry, gb):
         b, r, s2, sig_e2, pi_in, incl_acc, key = carry
@@ -281,6 +293,16 @@ def _gibbs_chain(
                 ubern = jax.random.uniform(k_scale_local, (p_pad,))
                 inv_tau2 = jnp.where(ubern <= mu_ig / (mu_ig + x_ig), x_ig, mu_ig * mu_ig / jnp.maximum(x_ig, 1e-20))
                 s2 = jnp.clip(sig_e2 / jnp.maximum(inv_tau2, 1e-12), 1e-10, 1e6)
+                if has_indicator:
+                    # BLπ (reference spec: Laplace + point mass): excluded
+                    # markers refresh τ² from its prior Exp(λ²/2) instead of
+                    # the b=0-degenerate inverse-Gaussian conditional.
+                    u_pr = jax.random.uniform(
+                        jax.random.fold_in(k_s2, 1), (p_pad,), minval=1e-12, maxval=1.0
+                    )
+                    tau2_prior = -2.0 * jnp.log(u_pr) / jnp.maximum(lam2, 1e-12)
+                    s2_prior = jnp.clip(sig_e2 * tau2_prior, 1e-10, 1e6)
+                    s2 = jnp.where(active > 0, s2, s2_prior)
                 # λ² | τ² ~ Gamma(p + shape, Στ²/2 + rate)
                 tau2_sum = _psum(jnp.sum(jnp.where(valid > 0, s2 / sig_e2, 0.0)))
                 lam2 = jax.random.gamma(k_hyper, p_real + 1.1) / (0.5 * tau2_sum + 1.1 / hyper["lam2_0"])
@@ -294,11 +316,13 @@ def _gibbs_chain(
                 s2_out = S_scale / chis0
                 s2 = jnp.where(active > 0, s2_in, s2_out)
                 s2 = jnp.clip(s2, 1e-10, 1e6)
-                # Hyper-scale S | σ²ⱼ ~ Gamma.
-                inv_sum = _psum(jnp.sum(jnp.where(valid > 0, 1.0 / s2, 0.0)))
-                S_scale = jax.random.gamma(k_hyper, p_real * df_b / 2.0 + 1.1) / (
-                    0.5 * inv_sum + 1.1 / S_b0
-                )
+                if not fixed_scale:
+                    # Hyper-scale S | σ²ⱼ ~ Gamma (BayesA/B); BayesT keeps the
+                    # reference's fixed unscaled t prior.
+                    inv_sum = _psum(jnp.sum(jnp.where(valid > 0, 1.0 / s2, 0.0)))
+                    S_scale = jax.random.gamma(k_hyper, p_real * df_b / 2.0 + 1.1) / (
+                        0.5 * inv_sum + 1.1 / S_b0
+                    )
         else:
             # Common slab variance (BayesC / BRR).
             k_a, k_b2 = jax.random.split(k_s2)
@@ -427,8 +451,17 @@ def gibbs_regression(
     ms_x = float(np.sum(np.var(X, axis=0)))
     ms_x = max(ms_x, 1e-8)
     df_b, df_e = 5.0, 5.0
-    pi_in = 0.5 if model in ("BayesB", "BayesC") else 1.0
+    sparse = model in ("BayesB", "BayesC", "BLPi", "BayesTPi")
+    pi_in = 0.5 if sparse else 1.0
     S_b0 = var_y * r2 / ms_x * (df_b + 2.0) / pi_in
+    # π prior counts: BGLR's informative Beta (counts=10) for BayesB/C; the
+    # reference's Turing spec (src/bayes.jl:851-852) uses π ~ Uniform(0,1) =
+    # Beta(1,1) for the Lπ/Tπ variants.
+    pi_counts = 10.0 if model in ("BayesB", "BayesC") else 2.0
+    if model in ("BayesT", "BayesTPi"):
+        # Fixed unscaled t prior TDist(1.0) (reference src/bayes.jl:752, :853):
+        # df=1 (Cauchy), scale 1, no hyper-scale update.
+        df_b, S_b0 = 1.0, 1.0
     S_e0 = var_y * (1.0 - r2) * (df_e + 2.0)
     hyper = {
         "df_b": jnp.float32(df_b),
@@ -436,7 +469,7 @@ def gibbs_regression(
         "df_e": jnp.float32(df_e),
         "S_e0": jnp.float32(S_e0),
         "pi_in": jnp.float32(pi_in),
-        "pi_counts": jnp.float32(10.0),
+        "pi_counts": jnp.float32(pi_counts),
         "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
     }
     if chunk_size is None and n_chains == 1:
@@ -620,3 +653,9 @@ bayesb = _alphabet("BayesB", "bayesb")
 bayesc = _alphabet("BayesC", "bayesc")
 bayesian_ridge = _alphabet("BRR", "bayesian_ridge")
 bayesian_lasso = _alphabet("BL", "bayesian_lasso")
+# The reference documents (as commented-out Turing models, src/bayes.jl:
+# 510-855) a wider prior taxonomy: Laplace and t priors each with an optional
+# point mass at zero. Implemented natively here.
+bayesian_lasso_pi = _alphabet("BLPi", "bayesian_lasso_pi")
+bayest = _alphabet("BayesT", "bayest")
+bayestpi = _alphabet("BayesTPi", "bayestpi")

@@ -17,7 +17,8 @@ __all__ = ["extractxyetc", "predict", "LINEAR_MODELS", "NON_LINEAR_MODELS"]
 
 LINEAR_MODELS = (
     "ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc",
-    "bayesian_ridge", "bayesian_lasso", "gblup",
+    "bayesian_ridge", "bayesian_lasso", "bayesian_lasso_pi",
+    "bayest", "bayestpi", "gblup",
 )
 NON_LINEAR_MODELS = ("mlp",)
 

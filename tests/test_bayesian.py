@@ -41,6 +41,42 @@ def test_bayesian_ridge_and_lasso(strong_additive):
         assert fit.metrics["cor"] > 0.50
 
 
+def test_extended_prior_taxonomy_fits(strong_additive):
+    """Laplace/t priors with optional point mass — the reference documents
+    these as commented-out Turing models (src/bayes.jl:510-855); here they
+    are native samplers sharing the blocked-Gibbs engine."""
+    genomes, phenomes, _ = strong_additive
+    for fn, name in [
+        (gbm.bayesian_lasso_pi, "bayesian_lasso_pi"),
+        (gbm.bayest, "bayest"),
+        (gbm.bayestpi, "bayestpi"),
+    ]:
+        fit = fn(genomes=genomes, phenomes=phenomes, n_iter=400, n_burnin=120)
+        assert fit.model == name
+        assert np.all(np.isfinite(fit.b_hat))
+        assert fit.metrics["cor"] > 0.50
+        # predict() must accept the new model names
+        yhat = gbm.predict(fit, genomes, idx_entries=list(range(10)))
+        assert np.all(np.isfinite(yhat))
+
+
+def test_point_mass_models_shrink_null_markers(strong_additive):
+    """With a sparse true signal, the π variants should place markedly more
+    posterior mass at ~zero for null markers than their dense counterparts."""
+    rng = np.random.default_rng(1)
+    X = rng.random((120, 240)).astype(np.float32)
+    b_true = np.zeros(240)
+    b_true[:3] = [2.0, -1.5, 1.0]
+    y = X @ b_true + 0.2 * rng.normal(size=120)
+    _, b_pi, _ = gibbs_regression(X, y, model="BLPi", n_iter=500, n_burnin=200, seed=5)
+    _, b_bl, _ = gibbs_regression(X, y, model="BL", n_iter=500, n_burnin=200, seed=5)
+    null_pi = np.mean(np.abs(b_pi[3:]))
+    null_bl = np.mean(np.abs(b_bl[3:]))
+    assert null_pi < null_bl  # point mass shrinks the null background harder
+    # signal survives
+    assert np.corrcoef(X @ b_pi, X @ b_true)[0, 1] > 0.9
+
+
 def test_gibbs_recovers_genetic_signal(strong_additive):
     genomes, phenomes, effects = strong_additive
     X = genomes.allele_frequencies
