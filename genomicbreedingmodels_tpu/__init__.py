@@ -49,6 +49,7 @@ from .models.gblup import gblup, gblup_multitrait, reml_variance_components
 from .models.mlp import mlp
 from .cv.batched import cvbulk_batched
 from .plots import manhattan_data, plot_cv, plot_manhattan
+from .streaming import BedShardStreamer, gblup_from_bed, grm_from_bed
 from .io import (
     read_bed,
     read_genomes_tsv,
@@ -122,6 +123,9 @@ __all__ = [
     "gblup_multitrait",
     "mlp",
     "read_bed",
+    "BedShardStreamer",
+    "grm_from_bed",
+    "gblup_from_bed",
     "manhattan_data",
     "plot_manhattan",
     "plot_cv",
