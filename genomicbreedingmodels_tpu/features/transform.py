@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -111,6 +112,67 @@ def transform1(
     return out
 
 
+def _beta_mask_topk(beta, okb, okall, row0, commutative: bool, k: int):
+    """Zero masked/lower-triangle slopes, then take the block's top-k |slope|
+    on device: only k (value, flat-index) pairs are returned to the host."""
+    l = beta.shape[1]
+    beta = jnp.where(okb[:, None] & okall[None, :], beta, 0.0)
+    if commutative:
+        rows = row0 + jnp.arange(beta.shape[0])
+        beta = jnp.where(jnp.arange(l)[None, :] < rows[:, None], 0.0, beta)
+    flat = beta.reshape(-1)
+    _, idx = jax.lax.top_k(jnp.abs(flat), k)
+    return flat[idx], idx
+
+
+@partial(jax.jit, static_argnames=("commutative", "k"))
+def _mult_block_topk(Xblk, Xj, ymj, okb, okall, row0, commutative: bool, k: int):
+    """All-pairs simple-regression slopes for t = x_a ∘ x_j via three GEMMs:
+    Σ t̃ ym = (X_blk∘ym)ᵀX (ym centered ⇒ the mean term vanishes),
+    Σ t = X_blkᵀX, Σ t² = (X_blk²)ᵀ(X²). The reference's O(l²·n) hottest
+    loop (src/transformation.jl:319-468) as pure MXU work — the (n, bi·l)
+    pair tensor is never materialized."""
+    n = Xj.shape[0]
+    Nm = jnp.dot((Xblk * ymj[:, None]).T, Xj, preferred_element_type=jnp.float32)
+    S1 = jnp.dot(Xblk.T, Xj, preferred_element_type=jnp.float32)
+    Q = jnp.dot((Xblk * Xblk).T, Xj * Xj, preferred_element_type=jnp.float32)
+    den = Q - S1 * S1 / n
+    beta = Nm / jnp.maximum(den, 1e-30)
+    return _beta_mask_topk(beta, okb, okall, row0, commutative, k)
+
+
+@partial(jax.jit, static_argnames=("commutative", "k"))
+def _addnorm_block_topk(Xblk, Xj, ymj, okb, okall, row0, commutative: bool, k: int):
+    """All-pairs slopes for t = (x_a + x_j)/2: one GEMM (X_blkᵀX) plus
+    rank-1 vector terms."""
+    n = Xj.shape[0]
+    u = jnp.dot(Xj.T, ymj, preferred_element_type=jnp.float32)
+    s = jnp.sum(Xj, axis=0)
+    q = jnp.sum(Xj * Xj, axis=0)
+    cols = row0 + jnp.arange(Xblk.shape[1])
+    S1 = jnp.dot(Xblk.T, Xj, preferred_element_type=jnp.float32)
+    num = 0.5 * (u[cols][:, None] + u[None, :])
+    st = 0.5 * (s[cols][:, None] + s[None, :])
+    st2 = 0.25 * (q[cols][:, None] + 2.0 * S1 + q[None, :])
+    den = st2 - st * st / n
+    beta = num / jnp.maximum(den, 1e-30)
+    return _beta_mask_topk(beta, okb, okall, row0, commutative, k)
+
+
+@partial(jax.jit, static_argnames=("f", "commutative", "k"))
+def _generic_block_topk(Xblk, Xj, ymj, okb, okall, row0, f: Callable,
+                        commutative: bool, k: int):
+    """Arbitrary binary transform: materialize the block's (n, bi·l) pair
+    tensor and run one batched slope pass. f is a static (hashable) arg so
+    repeated calls with the same transform hit the jit cache."""
+    n = Xj.shape[0]
+    P = f(Xblk[:, :, None], Xj[:, None, :]).reshape(n, -1)
+    Pm = P - jnp.mean(P, axis=0, keepdims=True)
+    ss = jnp.sum(Pm * Pm, axis=0)
+    beta = jnp.dot(Pm.T, ymj, preferred_element_type=jnp.float32) / jnp.maximum(ss, 1e-30)
+    return _beta_mask_topk(beta.reshape(Xblk.shape[1], -1), okb, okall, row0, commutative, k)
+
+
 def transform2(
     f: Callable,
     genomes: Genomes,
@@ -142,35 +204,33 @@ def transform2(
     ym = y - y.mean()
     Xj = jnp.asarray(X, jnp.float32)
     ymj = jnp.asarray(ym, jnp.float32)
+    okj = jnp.asarray(ok)
+    fname_dispatch = registry_name(f)
+    if fname_dispatch in ("mult", "addnorm"):
+        # GEMM blocks carry no (n, bi·l) pair tensor: use much larger blocks.
+        block = max(block, min(l, 2048))
+    kern = {
+        "mult": _mult_block_topk,
+        "addnorm": _addnorm_block_topk,
+    }.get(fname_dispatch)
 
-    @jax.jit
-    def _pair_block_slopes(xi_blk):  # xi_blk: (n, bi)
-        # P[:, a, j] = f(x_a, x_j); flatten pair axis for one batched slope pass.
-        P = f(xi_blk[:, :, None], Xj[:, None, :])  # (n, bi, l)
-        P = P.reshape(n, -1)
-        Pm = P - jnp.mean(P, axis=0, keepdims=True)
-        ss = jnp.sum(Pm * Pm, axis=0)
-        beta = jnp.dot(Pm.T, ymj, preferred_element_type=jnp.float32) / jnp.maximum(ss, 1e-30)
-        return beta
-
-    # Running top-k merge across blocks (flat index = i * l + j).
+    # Running top-k merge across blocks (flat index = i * l + j). Each block's
+    # candidate top-k is selected ON DEVICE (lax.top_k) so only k (value,
+    # index) pairs cross the host link per block instead of bi·l slopes.
     top_idx = np.zeros(0, dtype=np.int64)
     top_beta = np.zeros(0, dtype=np.float64)
     for start in range(0, l, block):
         bi = min(block, l - start)
-        beta = np.asarray(_pair_block_slopes(Xj[:, start : start + bi]), dtype=np.float64)
-        beta = beta.reshape(bi, l)
-        rows = np.arange(start, start + bi)
-        beta[~ok[rows], :] = 0.0
-        beta[:, ~ok] = 0.0
-        if commutative:
-            jj = np.arange(l)[None, :]
-            beta[jj < rows[:, None]] = 0.0
-        flat = beta.reshape(-1)
-        idx_local = np.argsort(-np.abs(flat), kind="stable")[: k_cap]
-        cand_idx = rows[0] * l + idx_local  # == i * l + j since rows contiguous
+        k = int(min(k_cap, bi * l))
+        args = (Xj[:, start : start + bi], Xj, ymj, okj[start : start + bi], okj,
+                jnp.int32(start))
+        if kern is not None:
+            vals, idx = kern(*args, commutative=commutative, k=k)
+        else:
+            vals, idx = _generic_block_topk(f=f, *args, commutative=commutative, k=k)
+        cand_idx = np.int64(start) * l + np.asarray(idx, dtype=np.int64)
         merged_idx = np.concatenate([top_idx, cand_idx])
-        merged_beta = np.concatenate([top_beta, flat[idx_local]])
+        merged_beta = np.concatenate([top_beta, np.asarray(vals, dtype=np.float64)])
         sel = np.argsort(-np.abs(merged_beta), kind="stable")[: k_cap]
         top_idx, top_beta = merged_idx[sel], merged_beta[sel]
 

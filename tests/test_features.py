@@ -113,3 +113,46 @@ def test_epistasis_improves_cv_accuracy(sim_small):
     cor_plain = np.mean([c.metrics["cor"] for c in cvs_plain])
     cor_epi = np.mean([c.metrics["cor"] for c in cvs_epi])
     assert cor_epi > cor_plain - 0.1
+
+
+def test_transform2_gemm_fast_paths_match_bruteforce():
+    """mult/addnorm slopes via GEMMs must match the definition-level
+    per-pair simple-regression slopes."""
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.features.transform import transform2
+
+    rng = np.random.default_rng(3)
+    n, l = 40, 12
+    F = rng.random((n, l))
+    genomes = gbm.Genomes(
+        entries=np.array([f"e{i}" for i in range(n)], dtype=object),
+        populations=np.array(["p"] * n, dtype=object),
+        loci_alleles=np.array([f"c\t{j+1}\tA|T\tA" for j in range(l)], dtype=object),
+        allele_frequencies=F,
+    )
+    y = rng.normal(size=n)
+    phen = gbm.Phenomes(
+        entries=genomes.entries.copy(), populations=genomes.populations.copy(),
+        traits=np.array(["t"], dtype=object), phenotypes=y[:, None],
+    )
+    eps = np.finfo(np.float64).eps
+    X = F + eps
+    ym = y - y.mean()
+    for fn in (gbm.mult, gbm.addnorm):
+        out = transform2(fn, genomes, phen, n_new_features_per_transformation=5,
+                         var_threshold=0.0)
+        # brute-force best pair by |slope|
+        best, best_b = None, 0.0
+        for a in range(l):
+            for b in range(l):
+                t = fn(X[:, a], X[:, b])
+                tm = t - t.mean()
+                ss = float(tm @ tm)
+                beta = float(tm @ ym) / max(ss, 1e-30)
+                if abs(beta) > abs(best_b):
+                    best, best_b = (a, b), beta
+        # selected features are ordered by flat index (reference :429), so
+        # check membership: the brute-force argmax pair must be selected.
+        fname = "mult" if fn is gbm.mult else "addnorm"
+        want = f"{fname}({genomes.loci_alleles[best[0]]},{genomes.loci_alleles[best[1]]})"
+        assert want in set(out.loci_alleles.tolist()), (want, out.loci_alleles[:3], best)
