@@ -114,6 +114,115 @@ def grm_pc1(K: np.ndarray) -> np.ndarray:
     return U[:, -1]
 
 
+@jax.jit
+def _col_sd(Graw):
+    return jnp.std(Graw, axis=0, ddof=1)
+
+
+@jax.jit
+def _min_nonzero_abs(G):
+    a = jnp.abs(G)
+    return jnp.min(jnp.where(a == 0.0, jnp.inf, a))
+
+
+@jax.jit
+def _prep_onchip(Graw, y, ploidy):
+    """Standardize the panel, build the VanRaden GRM, z-standardize K columns
+    (reference src/gwas.jl:117-131 semantics) — all on device. The Gram runs
+    on bf16 operands with f32 accumulation (same policy and ~100x-better-than-
+    bf16-centering accuracy as ops/grm.py); everything else is f32."""
+    from ..ops.grm import gram_panel
+
+    mu = jnp.mean(Graw, axis=0)
+    sd = jnp.maximum(jnp.std(Graw, axis=0, ddof=1), 1e-12)
+    Gs = (Graw - mu) / sd
+    denom = ploidy * jnp.maximum(jnp.sum(mu * (1.0 - mu)), 1e-12)
+    K = gram_panel(Graw.astype(jnp.bfloat16)) / denom
+    Km = jnp.mean(K, axis=0)
+    Kstd = jnp.std(K, axis=0, ddof=1)
+    Ksd = jnp.where(Kstd < 1e-12, 1.0, Kstd)
+    Ks = (K - Km) / Ksd
+    ys = (y - jnp.mean(y)) / jnp.maximum(jnp.std(y, ddof=1), 1e-12)
+    return Gs, ys, Ks
+
+
+def _prep_device(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries=None,
+    idx_loci_alleles=None,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+):
+    """Device-resident GWAS prep shared by the three scans.
+
+    Same semantics as `gwasprep(standardise=True)` but in f32 on device: the
+    panel crosses the host link ONCE, standardization / GRM / z-scaling all
+    run on-chip, and the returned arrays stay device-resident so the scans
+    never re-upload. (The public `gwasprep` keeps its f64 host contract for
+    parity with the reference's exact standardization invariants.)
+    """
+    G, y, entries, populations, loci_alleles = extractxyetc(
+        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+        idx_trait=idx_trait, add_intercept=False,
+    )
+    if GRM_type not in GRM_TYPES:
+        raise ValueError(f"unrecognised GRM_type {GRM_type!r}; choose from {GRM_TYPES}")
+    if np.var(y, ddof=1) < np.finfo(np.float64).eps:
+        raise ValueError(f"no variance in the trait: {phenomes.traits[idx_trait]}")
+    Graw = jnp.asarray(np.asarray(G, dtype=np.float32))  # the single panel upload
+    # Zero-variance drop: column sd computed on device, only the l-vector
+    # comes back (a host np.std over the panel costs ~20 s at 2048x65k).
+    v = np.asarray(_col_sd(Graw))
+    keep = np.flatnonzero((v > 1e-12) & np.isfinite(v))
+    if len(keep) < Graw.shape[1]:
+        Graw = jnp.take(Graw, jnp.asarray(keep), axis=1)
+    loci_alleles = loci_alleles[keep]
+    if GRM_type == "ploidy-aware":
+        # infer_ploidy semantics (core/grm.py) via a device reduction: only
+        # the min-nonzero-frequency scalar comes back.
+        m = float(_min_nonzero_abs(Graw))
+        if not np.isfinite(m):
+            ploidy = 2
+        elif m < 0.01:
+            ploidy = 100
+        else:
+            ploidy = max(1, int(round(1.0 / m)))
+    else:
+        ploidy = 2
+    Gd, yd, Kd = _prep_onchip(Graw, jnp.asarray(y, jnp.float32), jnp.float32(ploidy))
+    fit = Fit(
+        model="",
+        b_hat=np.zeros(len(keep)),
+        b_hat_labels=loci_alleles,
+        trait=str(phenomes.traits[idx_trait]),
+        entries=entries,
+        populations=populations,
+        metrics={"": 0.0},
+    )
+    return Gd, yd, Kd, fit
+
+
+@jax.jit
+def _grm_pc1_device(K: jnp.ndarray) -> jnp.ndarray:
+    """Leading eigenvector of cov(K columns) by power iteration — the PC1
+    covariate needs only the top eigenvector, so a full eigh (seconds of
+    compile + run on TPU at n=2k+) is replaced by 50 matvecs. Eigenvector
+    sign is arbitrary (as in the reference's PCA projection); the covariate's
+    sign does not affect the scan statistics."""
+    Kc = K - jnp.mean(K, axis=1, keepdims=True)
+    C = jnp.dot(Kc, Kc.T, preferred_element_type=jnp.float32) / max(K.shape[1] - 1, 1)
+    n = C.shape[0]
+    v0 = jnp.ones((n,), jnp.float32) / jnp.sqrt(n)
+
+    def step(_, v):
+        w = C @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, 50, step, v0)
+    return v
+
+
 # ---------------------------------------------------------------------------
 # GWAS via OLS: vmapped 3-column closed-form solves
 # ---------------------------------------------------------------------------
@@ -121,6 +230,16 @@ def grm_pc1(K: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def _gwasols_scan(G: jnp.ndarray, y: jnp.ndarray, pc1: jnp.ndarray) -> jnp.ndarray:
+    """t-stat of the marker column in X = [1, PC1, g] for every marker.
+
+    Closed form via the Schur complement of the fixed 2x2 block: with
+    XᵀX = [[A, b_j], [b_jᵀ, c_j]], A = FᵀF fixed across markers,
+    s_j = c_j − b_jᵀA⁻¹b_j, the marker solve is b3_j = (gᵀy − b_jᵀA⁻¹Fᵀy)/s_j
+    and (XᵀX)⁻¹[2,2] = 1/s_j, so t_j = b3_j √s_j (matching the reference's
+    b[end]/√Vinv[end,end], src/gwas.jl:241-245, which does not scale by the
+    residual σ). Everything is GEMMs + elementwise — no per-marker pinv/SVD,
+    which XLA could not compile for 10⁵ markers.
+    """
     n = G.shape[0]
     F = jnp.stack([jnp.ones(n), pc1], axis=1)  # (n, 2)
     FtF = F.T @ F  # (2, 2)
@@ -129,18 +248,14 @@ def _gwasols_scan(G: jnp.ndarray, y: jnp.ndarray, pc1: jnp.ndarray) -> jnp.ndarr
     GtG = jnp.sum(G * G, axis=0)  # (p,)
     Gty = jnp.dot(G.T, y, preferred_element_type=jnp.float32)  # (p,)
 
-    def per_marker(ftg, gtg, gty):
-        XtX = jnp.zeros((3, 3))
-        XtX = XtX.at[:2, :2].set(FtF)
-        XtX = XtX.at[:2, 2].set(ftg)
-        XtX = XtX.at[2, :2].set(ftg)
-        XtX = XtX.at[2, 2].set(gtg)
-        Xty = jnp.concatenate([Fty, gty[None]])
-        Vinv = jnp.linalg.pinv(XtX)
-        b = Vinv @ Xty
-        return b[2] / jnp.sqrt(jnp.maximum(Vinv[2, 2], 1e-30))
-
-    return jax.vmap(per_marker)(FtG.T, GtG, Gty)
+    Ainv = jnp.linalg.inv(FtF + 1e-12 * jnp.eye(2))
+    U = Ainv @ FtG  # (2, p)
+    s = GtG - jnp.sum(FtG * U, axis=0)  # Schur complements, (p,)
+    num = Gty - FtG.T @ (Ainv @ Fty)  # (p,)
+    s_safe = jnp.maximum(s, 1e-30)
+    t = (num / s_safe) * jnp.sqrt(s_safe)
+    # Degenerate markers (collinear with [1, PC1]) get t = 0.
+    return jnp.where(s > 1e-8, t, 0.0)
 
 
 def gwasols(
@@ -157,15 +272,13 @@ def gwasols(
     b_hat holds the per-marker t-statistic b / sqrt((XᵀX)⁻¹[2,2]) exactly as
     the reference computes it (src/gwas.jl:241-245).
     """
-    G, y, K, fit = gwasprep(
+    G, y, K, fit = _prep_device(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
-        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+        idx_trait=idx_trait, GRM_type=GRM_type,
     )
     fit.model = "GWAS_OLS"
-    pc1 = grm_pc1(K)
-    t = _gwasols_scan(
-        jnp.asarray(G, jnp.float32), jnp.asarray(y, jnp.float32), jnp.asarray(pc1, jnp.float32)
-    )
+    pc1 = _grm_pc1_device(K)
+    t = _gwasols_scan(G, y, pc1)
     fit.b_hat = np.asarray(t, dtype=np.float64)
     if not fit.checkdims():
         raise RuntimeError("error performing GWAS via OLS")
@@ -265,6 +378,12 @@ def _symmetric_eig_rotation(K: np.ndarray):
     return np.maximum(s, 0.0), U
 
 
+@jax.jit
+def _eigh_device(K: jnp.ndarray):
+    s, U = jnp.linalg.eigh(0.5 * (K + K.T))
+    return jnp.maximum(s, 0.0), U
+
+
 def gwasreml(
     genomes: Genomes,
     phenomes: Phenomes,
@@ -280,20 +399,19 @@ def gwasreml(
     b_hat holds the z-statistic b / sqrt(Var(b)) of the marker effect from the
     GLS fit at the per-marker REML optimum.
     """
-    G, y, K, fit = gwasprep(
+    G, y, K, fit = _prep_device(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
-        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+        idx_trait=idx_trait, GRM_type=GRM_type,
     )
     fit.model = "GWAS_REML"
     n, l = G.shape
-    s, U = _symmetric_eig_rotation(K)
-    yt = jnp.asarray(U.T @ y, jnp.float32)
-    ones_t = jnp.asarray(U.T @ np.ones(n), jnp.float32)
-    s_j = jnp.asarray(s, jnp.float32)
-    Gt = U.T @ G  # (n, l) one GEMM
+    s_j, U = _eigh_device(K)
+    yt = U.T @ y
+    ones_t = U.T @ jnp.ones(n, jnp.float32)
+    Gt = jnp.dot(U.T, G, preferred_element_type=jnp.float32)  # one device GEMM
     z_out = np.zeros(l)
     for start in range(0, l, marker_block):
-        blk = jnp.asarray(Gt[:, start : start + marker_block], jnp.float32)
+        blk = Gt[:, start : start + marker_block]
         Xt_all = jnp.stack(
             [jnp.broadcast_to(ones_t[:, None], blk.shape), blk], axis=-1
         ).transpose(1, 0, 2)  # (b, n, 2)
@@ -318,49 +436,43 @@ def gwaslmm(
     GLS z-stats in the rotated basis (see module docstring for the documented
     divergence from reference src/gwas.jl:329-399).
     """
-    G, y, K, fit = gwasprep(
+    G, y, K, fit = _prep_device(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
-        idx_trait=idx_trait, GRM_type=GRM_type, standardise=True,
+        idx_trait=idx_trait, GRM_type=GRM_type,
     )
     fit.model = "GWAS_LMM"
     n, l = G.shape
-    pc1 = grm_pc1(K)
-    s, U = _symmetric_eig_rotation(K)
-    yt = jnp.asarray(U.T @ y, jnp.float32)
-    s_j = jnp.asarray(s, jnp.float32)
-    F = np.stack([np.ones(n), pc1], axis=1)
-    Ft = jnp.asarray(U.T @ F, jnp.float32)
+    pc1 = _grm_pc1_device(K)
+    s_j, U = _eigh_device(K)
+    yt = U.T @ y
+    F = jnp.stack([jnp.ones(n, jnp.float32), pc1], axis=1)
+    Ft = U.T @ F
     # Null-model variance components (single 2-parameter REML solve).
     z_null, theta = _reml_scan(yt, Ft[None, :, :], s_j)
-    theta = np.asarray(theta[0], dtype=np.float64)
-    d = jnp.asarray(theta[1] * s + theta[0], jnp.float32)
-    inv_d = 1.0 / d
-    Gt = jnp.asarray(U.T @ G, jnp.float32)
-
-    # GLS per marker with X = [1, PC1, g]; all cross-products are GEMMs.
-    @jax.jit
-    def _scan(Gt, Ft, yt, inv_d):
-        FtVF = jnp.einsum("nk,n,nm->km", Ft, inv_d, Ft)
-        FtVy = jnp.einsum("nk,n,n->k", Ft, inv_d, yt)
-        FtVg = jnp.einsum("nk,n,np->kp", Ft, inv_d, Gt)
-        gtVg = jnp.einsum("np,n,np->p", Gt, inv_d, Gt)
-        gtVy = jnp.einsum("np,n,n->p", Gt, inv_d, yt)
-
-        def per_marker(fvg, gvg, gvy):
-            A = jnp.zeros((3, 3))
-            A = A.at[:2, :2].set(FtVF)
-            A = A.at[:2, 2].set(fvg)
-            A = A.at[2, :2].set(fvg)
-            A = A.at[2, 2].set(gvg)
-            rhs = jnp.concatenate([FtVy, gvy[None]])
-            cov = jnp.linalg.pinv(A)
-            b = cov @ rhs
-            return b[2] / jnp.sqrt(jnp.maximum(cov[2, 2], 1e-30))
-
-        return jax.vmap(per_marker)(FtVg.T, gtVg, gtVy)
-
-    fit.b_hat = np.asarray(_scan(Gt, Ft, yt, inv_d), dtype=np.float64)
-    fit.extras = {"sigma2_e": float(theta[0]), "sigma2_u": float(theta[1])}
+    theta0 = np.asarray(theta[0], dtype=np.float64)
+    inv_d = 1.0 / (jnp.float32(theta0[1]) * s_j + jnp.float32(theta0[0]))
+    Gt = jnp.dot(U.T, G, preferred_element_type=jnp.float32)
+    fit.b_hat = np.asarray(_gls_scan(Gt, Ft, yt, inv_d), dtype=np.float64)
+    fit.extras = {"sigma2_e": float(theta0[0]), "sigma2_u": float(theta0[1])}
     if not fit.checkdims():
         raise RuntimeError("error performing GWAS via LMM")
     return fit
+
+
+@jax.jit
+def _gls_scan(Gt, Ft, yt, inv_d):
+    """Per-marker GLS z-stats with X = [1, PC1, g] in the rotated basis, via
+    the Schur complement of the fixed 2x2 block — all GEMMs + elementwise,
+    no per-marker pinv (which XLA cannot compile for 10⁵ markers)."""
+    FtVF = jnp.einsum("nk,n,nm->km", Ft, inv_d, Ft)
+    FtVy = jnp.einsum("nk,n,n->k", Ft, inv_d, yt)
+    FtVg = jnp.einsum("nk,n,np->kp", Ft, inv_d, Gt)
+    gtVg = jnp.einsum("np,n,np->p", Gt, inv_d, Gt)
+    gtVy = jnp.einsum("np,n,n->p", Gt, inv_d, yt)
+    Ainv = jnp.linalg.inv(FtVF + 1e-12 * jnp.eye(2))
+    Uu = Ainv @ FtVg  # (2, p)
+    sch = gtVg - jnp.sum(FtVg * Uu, axis=0)
+    num = gtVy - FtVg.T @ (Ainv @ FtVy)
+    s_safe = jnp.maximum(sch, 1e-30)
+    z = (num / s_safe) * jnp.sqrt(s_safe)
+    return jnp.where(sch > 1e-8, z, 0.0)
