@@ -226,7 +226,10 @@ def _gibbs_chain(
             # feedback loop when p > n (observed to diverge), while the
             # one-at-a-time update stays damped.
             init = (_vary(jnp.zeros(bs)), _vary(jnp.zeros(bs)), b_blk)
-            (cdelta, delta, b_blk_new), incl = jax.lax.scan(marker_step, init, jnp.arange(bs))
+            # unroll: per-step loop overhead dominates the tiny marker body.
+            (cdelta, delta, b_blk_new), incl = jax.lax.scan(
+                marker_step, init, jnp.arange(bs), unroll=8
+            )
         else:
             # No inclusion indicators → the block conditional b_b | rest is
             # jointly Gaussian: N(Σ⁻¹ rhs, Σ⁻¹) with Σ = C_b/σ²ₑ + D⁻¹ and
