@@ -18,14 +18,15 @@ matmul). Two block-update strategies, chosen per model:
   block conditional is jointly Gaussian, so the whole block is sampled in
   ONE Cholesky draw of the bs x bs conditional precision — exact block-Gibbs
   with better mixing than scalar updates, and all MXU work. Measured on TPU
-  v5e at n=1024, p=16k, bs=512: 456-838k marker-updates/s vs ~100k for the
-  scalar scan.
+  v5e at n=1024, p=16k, bs=512: 456-838k marker-updates/s vs 124-147k for
+  the scalar scan.
 - **Sequential scalar scan** (BayesB / BayesC / BLπ / BayesTπ — discrete
   inclusion indicators; and BL, whose σ²ₑ-proportional shrinkage feedback
   diverges under the joint draw's larger null-space moves when p > n): the
   within-block pass tracks already-updated markers through C_b rows
   (length-`block_size` VPU axpys — rows, not columns: sublane-direction
-  slices are fast on TPU) instead of touching the length-n residual.
+  slices are fast on TPU) instead of touching the length-n residual; the
+  scan is unrolled 8x (loop overhead dominated the tiny step body).
 
 Either way the residual is corrected once per block with a single GEMV and
 the chain has exactly the correct stationary distribution (the scalar path
