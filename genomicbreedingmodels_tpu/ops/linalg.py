@@ -110,13 +110,18 @@ def make_lambda_grid(X, y, n_lambda: int = 100, lambda_min_ratio: float = 0.01, 
     λ_max = max_j |⟨x_j - x̄_j, y - ȳ⟩| / (n * max(alpha, 1e-3)); for ridge
     (alpha=0) glmnet uses the same 1e-3 floor.
     """
-    X = np.asarray(X, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
     n = X.shape[0]
-    Xc = X - X.mean(axis=0, keepdims=True)
-    yc = y - y.mean()
-    lam_max = np.max(np.abs(Xc.T @ yc)) / (n * max(alpha, 1e-3))
-    lam_max = max(lam_max, 1e-12)
+    # ⟨x_j - x̄_j, y - ȳ⟩ = x_jᵀ(y - ȳ) since Σ(y - ȳ) = 0: no centered panel
+    # copy needed — one GEMV (on device when X already lives there).
+    if isinstance(X, jnp.ndarray):
+        yc = jnp.asarray(y, X.dtype) - jnp.mean(jnp.asarray(y, X.dtype))
+        lam_max = float(jnp.max(jnp.abs(jnp.dot(yc, X, preferred_element_type=jnp.float32))))
+    else:
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        yc = y - y.mean()
+        lam_max = float(np.max(np.abs(yc @ X)))
+    lam_max = max(lam_max / (n * max(alpha, 1e-3)), 1e-12)
     return np.logspace(np.log10(lam_max), np.log10(lam_max * lambda_min_ratio), n_lambda)
 
 
@@ -136,11 +141,15 @@ def make_fold_masks(n: int, n_folds: int, seed: int = 42) -> np.ndarray:
 def _gram_and_stats(X: Array):
     """Raw Gram + column sums: the one O(n²p) pass shared by all CV folds.
 
-    Masked/centered per-fold Grams derive from these in O(n²): with
-    m = fold-training column means and M = diag(w),
+    bf16 operands on the panel syrk schedule (ops/grm.py) — the same MXU
+    policy as the GRM hot path. Masked/centered per-fold Grams derive from
+    the raw Gram in O(n²): with m = fold-training column means and
+    M = diag(w),
       (M (X - 1 mᵀ)) (M (X - 1 mᵀ))ᵀ = M (G - X m 1ᵀ - 1 mᵀ Xᵀ + (m·m) 11ᵀ) M.
     """
-    G = jnp.dot(X, X.T, preferred_element_type=jnp.float32)
+    from .grm import gram_panel
+
+    G = gram_panel(X.astype(jnp.bfloat16), center=False)
     return G, X
 
 
@@ -182,11 +191,13 @@ _ridge_folds_batch = jax.jit(
 @jax.jit
 def _ridge_full_eigh(X: Array, y: Array):
     """Full-data centered-Gram eigendecomposition, shared across all λ."""
+    from .grm import gram_panel
+
     mean_y = jnp.mean(y)
     mean_x = jnp.mean(X, axis=0)
     Z = X - mean_x[None, :]
     yc = y - mean_y
-    K = jnp.dot(Z, Z.T, preferred_element_type=jnp.float32)
+    K = gram_panel(X.astype(jnp.bfloat16))  # centered raw-Gram (P G P)
     s, U = jnp.linalg.eigh(K)
     return jnp.maximum(s, 0.0), U, U.T @ yc, Z, mean_x, mean_y
 
@@ -252,25 +263,41 @@ def _lasso_fista_batch(Z: Array, yc: Array, w: Array, lambdas: Array, step: Arra
     """FISTA for (1/2n)‖M(yc - Z b)‖² + λ‖b‖₁, all λ in one batch.
 
     Z: (n, p) centered design; yc: (n,) centered response; w: (n,) row mask
-    (all-ones for the full-data path). Returns B: (p, L).
+    (all-ones for the full-data path). Returns B: (p, L). The two GEMMs per
+    iteration run on bf16 operands with f32 accumulation (4x MXU rate; the
+    iterate/soft-threshold state stays f32, so this is standard
+    mixed-precision proximal gradient).
     """
     n_tr = jnp.sum(w)
     L = lambdas.shape[0]
     p = Z.shape[1]
-    Zw = w[:, None] * Z
+    Zw32 = w[:, None] * Z
+    Zw16 = Zw32.astype(jnp.bfloat16)
     ywc = w * yc
 
-    def body(_, carry):
-        B, V, tk = carry
-        R = jnp.dot(Zw, V, preferred_element_type=jnp.float32) - ywc[:, None]  # (n, L)
-        grad = jnp.dot(Zw.T, R, preferred_element_type=jnp.float32) / n_tr  # (p, L)
-        B_new = _soft_threshold(V - step * grad, step * lambdas[None, :])
-        tk_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk**2))
-        V_new = B_new + ((tk - 1.0) / tk_new) * (B_new - B)
-        return B_new, V_new, tk_new
+    def _body(Zw_lo, cast):
+        def body(_, carry):
+            B, V, tk = carry
+            R = jnp.dot(Zw_lo, cast(V), preferred_element_type=jnp.float32) - ywc[:, None]
+            grad = jnp.dot(Zw_lo.T, cast(R), preferred_element_type=jnp.float32) / n_tr
+            B_new = _soft_threshold(V - step * grad, step * lambdas[None, :])
+            tk_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk**2))
+            V_new = B_new + ((tk - 1.0) / tk_new) * (B_new - B)
+            return B_new, V_new, tk_new
+
+        return body
 
     B0 = jnp.zeros((p, L), dtype=jnp.float32)
-    B, _, _ = jax.lax.fori_loop(0, n_iter, body, (B0, B0, jnp.float32(1.0)))
+    n_bulk = max(n_iter - max(20, n_iter // 8), 0)
+    # Bulk iterations on bf16 operands, then an f32 polish leg (momentum
+    # restarted) so the final iterates satisfy the KKT conditions to f32
+    # precision rather than stalling at the bf16 gradient noise floor.
+    B, _, _ = jax.lax.fori_loop(
+        0, n_bulk, _body(Zw16, lambda a: a.astype(jnp.bfloat16)), (B0, B0, jnp.float32(1.0))
+    )
+    B, _, _ = jax.lax.fori_loop(
+        0, n_iter - n_bulk, _body(Zw32, lambda a: a), (B, B, jnp.float32(1.0))
+    )
     return B
 
 
@@ -288,6 +315,17 @@ def _power_iter_lmax(Z: Array) -> Array:
     return jnp.dot(v, K @ v)
 
 
+@jax.jit
+def _sis_scores(X: Array, y: Array, w: Array) -> Array:
+    """|Z_wᵀ (w yc)| marginal scores for sure-independence screening: one
+    GEMV over the full panel."""
+    n_tr = jnp.sum(w)
+    mean_y = jnp.sum(w * y) / n_tr
+    ywc = w * (y - mean_y)
+    # ⟨x_j - x̄_j, w yc⟩ = x_jᵀ(w yc) - x̄_j Σ(w yc); Σ(w yc) = 0 by centering.
+    return jnp.abs(jnp.dot(ywc, X, preferred_element_type=jnp.float32))
+
+
 def lasso_cv_path(
     X,
     y,
@@ -296,8 +334,18 @@ def lasso_cv_path(
     n_folds: int = 10,
     seed: int = 42,
     n_iter: int = 400,
+    screen_factor: int = 8,
 ) -> Tuple[float, np.ndarray, dict]:
-    """k-fold CV over a LASSO λ path, batched FISTA; glmnetcv-style selection."""
+    """k-fold CV over a LASSO λ path, batched FISTA; glmnetcv-style selection.
+
+    For ultra-wide panels (p > screen_factor · n) each fold first applies
+    sure-independence screening (top screen_factor·n markers by marginal
+    |Zᵀy| — one GEMV) and runs the path on the screened design: a LASSO
+    solution has at most n_tr nonzero coefficients, so the screened set is a
+    superset of the active set in all but adversarial LD structures, and the
+    dense-FISTA work scales with n instead of p. Set screen_factor=0 to
+    disable.
+    """
     X = jnp.asarray(X, dtype=jnp.float32)
     y = jnp.asarray(y, dtype=jnp.float32)
     n, p = X.shape
@@ -305,18 +353,30 @@ def lasso_cv_path(
     lambdas_np = make_lambda_grid(X, y, n_lambda, lambda_min_ratio, alpha=1.0)
     lambdas = jnp.asarray(lambdas_np, dtype=jnp.float32)
     masks = make_fold_masks(n, n_folds, seed)
+    k_screen = p if screen_factor <= 0 else int(min(p, max(1024, screen_factor * n)))
+    screened = k_screen < p
+
+    def _fold_path(w):
+        n_tr = jnp.sum(w)
+        if screened:
+            _, idx = jax.lax.top_k(_sis_scores(X, y, w), k_screen)
+            Xk = jnp.take(X, idx, axis=1)
+        else:
+            idx = None
+            Xk = X
+        mean_y = jnp.sum(w * y) / n_tr
+        mean_x = jnp.sum(w[:, None] * Xk, axis=0) / n_tr
+        Z = Xk - mean_x[None, :]
+        yc = y - mean_y
+        step = jnp.float32(1.0) / jnp.maximum(_power_iter_lmax(w[:, None] * Z) / n_tr, 1e-12)
+        B = _lasso_fista_batch(Z, yc, w, lambdas, step, n_iter)
+        return B, Z, yc, mean_x, mean_y, idx
 
     sums = np.zeros(n_lambda, dtype=np.float64)
     counts = 0.0
     for f in range(n_folds):
         w = jnp.asarray(masks[f])
-        n_tr = float(jnp.sum(w))
-        mean_y = float(jnp.sum(w * y) / n_tr)
-        mean_x = jnp.sum(w[:, None] * X, axis=0) / n_tr
-        Z = X - mean_x[None, :]
-        yc = y - mean_y
-        step = jnp.float32(1.0) / jnp.maximum(_power_iter_lmax(w[:, None] * Z) / n_tr, 1e-12)
-        B = _lasso_fista_batch(Z, yc, w, lambdas, step, n_iter)
+        B, Z, yc, _, mean_y, _ = _fold_path(w)
         preds = mean_y + jnp.dot(Z, B, preferred_element_type=jnp.float32)
         val = 1.0 - w
         err = (y[:, None] - preds) ** 2 * val[:, None]
@@ -325,13 +385,8 @@ def lasso_cv_path(
     meanloss = sums / max(counts, 1.0)
 
     # Full-data path at all λ (single batched FISTA), then reference-style pick.
-    mean_y = float(jnp.mean(y))
-    mean_x = jnp.mean(X, axis=0)
-    Z = X - mean_x[None, :]
-    yc = y - mean_y
     ones = jnp.ones((n,), dtype=jnp.float32)
-    step = jnp.float32(1.0) / jnp.maximum(_power_iter_lmax(Z) / n, 1e-12)
-    B_full = _lasso_fista_batch(Z, yc, ones, lambdas, step, n_iter)
+    B_full, _, _, mean_x, mean_y, idx_full = _fold_path(ones)
     B_np = np.asarray(B_full, dtype=np.float64)
     order = np.argsort(meanloss, kind="stable")
     chosen = int(order[-1])
@@ -339,7 +394,13 @@ def lasso_cv_path(
         if np.var(B_np[:, i], ddof=1) > 1e-10:
             chosen = int(i)
             break
-    beta = B_np[:, chosen]
-    b0 = mean_y - float(np.asarray(mean_x, dtype=np.float64) @ beta)
-    info = {"lambdas": lambdas_np, "meanloss": meanloss, "chosen": chosen}
+    beta_k = B_np[:, chosen]
+    if screened:
+        beta = np.zeros(p)
+        beta[np.asarray(idx_full)] = beta_k
+    else:
+        beta = beta_k
+    b0 = float(mean_y) - float(np.asarray(mean_x, dtype=np.float64) @ beta_k)
+    info = {"lambdas": lambdas_np, "meanloss": meanloss, "chosen": chosen,
+            "screened_to": k_screen if screened else p}
     return b0, beta, info
