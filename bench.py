@@ -5,14 +5,17 @@ star is SNPs/s/chip for the GRM+GBLUP solve. One chip processes an n x p SNP
 panel: centered Gram matrix (bf16 operands, f32 accumulation on the MXU),
 Cholesky mixed-model solve, GEBV prediction. Prints ONE JSON line.
 
-Kernel selection: the default is the column-panel syrk XLA GRM
-(ops/grm.py:gram_panel) — panel j is one tall ((n-j·b) x b x p) GEMM, the
-strict upper triangle filled by transpose, centering as the O(n²)
-double-centering projection of the raw Gram (no centered panel copy, f32
-epilogue). Measured at 8192 x 262144 bf16 on TPU v5e: 16.5 GSNP/s vs 10.1
-for the single fused GEMM, 13.6 for square-tile triangular blocking, and
-15.3 for the Pallas kernel (ops/pallas_kernels.py). The Pallas kernel stays
-opt-in via GBM_BENCH_PALLAS=1.
+Kernel selection: the default panel is a called-genotype diploid panel
+(dosages {0,1,2} — what PLINK .bed files decode to) on the int8 dosage path
+(ops/grm.py:gram_dosage): the column-panel syrk schedule with int8 operands
+and EXACT int32 MXU accumulation, 27.3 GSNP/s at 8192 x 262144 on TPU v5e.
+GBM_BENCH_BF16=1 switches to a continuous (imputed) allele-frequency panel
+on the bf16 panel syrk (ops/grm.py:gram_panel) — panel j is one tall
+((n-j·b) x b x p) GEMM, strict upper triangle filled by transpose, centering
+as the O(n²) double-centering projection of the raw Gram: 16.5 GSNP/s vs
+10.1 for the single fused GEMM, 13.6 for square-tile triangular blocking,
+and 15.3 for the Pallas kernel (ops/pallas_kernels.py, opt-in via
+GBM_BENCH_PALLAS=1).
 
 Notes for this environment:
 - under the axon TPU tunnel `block_until_ready` does not synchronize, so
@@ -39,18 +42,36 @@ def main() -> None:
     else:
         n, p = 512, 4_096
 
+    use_bf16 = os.environ.get("GBM_BENCH_BF16", "0") == "1"
+
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
-    X = jax.random.uniform(kx, (n, p), dtype=jnp.bfloat16)
     y = jax.random.normal(ky, (n,), dtype=jnp.float32)
 
     if use_pallas:
         from genomicbreedingmodels_tpu.ops.pallas_kernels import grm_pallas
 
+        X = jax.random.uniform(kx, (n, p), dtype=jnp.bfloat16)
+
         def grm(X):
             return grm_pallas(X, interpret=False)
-    else:
+    elif use_bf16:
+        # Continuous (imputed) allele-frequency panel: bf16 panel syrk.
         from genomicbreedingmodels_tpu.ops.grm import gram_panel as grm
+
+        X = jax.random.uniform(kx, (n, p), dtype=jnp.bfloat16)
+    else:
+        # Default: a called-genotype diploid panel — dosages {0, 1, 2} — the
+        # realistic production input (PLINK .bed decodes to exactly this).
+        # int8 operands run the MXU at 2x the bf16 rate and the int32-
+        # accumulated Gram is EXACT (ops/grm.py:gram_dosage): measured
+        # 27.3 GSNP/s at 8192 x 262144 on TPU v5e vs 16.5 bf16.
+        from genomicbreedingmodels_tpu.ops.grm import gram_dosage
+
+        X = jax.random.randint(kx, (n, p), 0, 3, dtype=jnp.int8)
+
+        def grm(D):
+            return gram_dosage(D, ploidy=2)
 
     @jax.jit
     def fused_step(X, y):
@@ -82,7 +103,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"GRM+GBLUP SNPs/s/chip (n={n}, p={p}, {dev.platform}"
-                + (", pallas" if use_pallas else "")
+                + (", pallas" if use_pallas else ("" if use_bf16 else ", int8 dosage"))
                 + ")",
                 "value": round(snps_per_s, 1),
                 "unit": "SNPs/s",

@@ -27,7 +27,8 @@ class GRMResult:
 
 
 def _grm_from_freqs(freqs: np.ndarray, ploidy: int) -> GRMResult:
-    from ..ops.grm import gram_centered  # local import: keeps core importable without jax
+    # local imports: keep core importable without jax
+    from ..ops.grm import encode_dosage, gram_centered, gram_dosage
 
     X = np.asarray(freqs, dtype=np.float64)
     col_mean = X.mean(axis=0)
@@ -35,7 +36,13 @@ def _grm_from_freqs(freqs: np.ndarray, ploidy: int) -> GRMResult:
     denom = float(ploidy) * float(np.sum(col_mean * (1.0 - col_mean)))
     if denom <= 1e-12:
         denom = 1.0
-    G = gram_centered(X) / denom
+    # Exact int8 dosage path when the panel sits on the {0,1/k,...,1} grid
+    # (real genotype calls): 2x MXU rate AND zero quantization error.
+    D = encode_dosage(X, ploidy=ploidy)
+    if D is not None:
+        G = np.asarray(gram_dosage(D, ploidy=ploidy)) / denom
+    else:
+        G = gram_centered(X) / denom
     return GRMResult(genomic_relationship_matrix=np.asarray(G), denominator=denom, ploidy=ploidy)
 
 

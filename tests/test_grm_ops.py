@@ -89,3 +89,70 @@ def test_gram_recursive_algebraic_centering_beats_bf16_centering():
     err_bf16 = np.abs(K_bf16 - K64).max() / den
     assert err_alg < err_bf16 / 5
     assert err_alg < 1e-4
+
+
+def test_encode_dosage_grid_detection():
+    from genomicbreedingmodels_tpu.ops.grm import encode_dosage
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 3, size=(40, 23)).astype(np.float64) / 2.0
+    D = encode_dosage(X, ploidy=2)
+    assert D is not None and D.dtype == np.int8
+    assert np.array_equal(D, (X * 2).astype(np.int8))
+    # Off-grid (continuous) panel must be rejected.
+    assert encode_dosage(rng.random((10, 5)), ploidy=2) is None
+    # Tetraploid grid works at its own ploidy, fails at 2.
+    X4 = rng.integers(0, 5, size=(12, 9)).astype(np.float64) / 4.0
+    assert encode_dosage(X4, ploidy=4) is not None
+    assert encode_dosage(X4, ploidy=2) is None
+
+
+@pytest.mark.parametrize("n,ploidy", [(64, 2), (100, 4), (257, 2)])
+def test_gram_dosage_exact(n, ploidy):
+    """int8 dosage Gram is EXACT: equals the f64 dense centered Gram to f32
+    rounding of the O(n²) centering epilogue only."""
+    from genomicbreedingmodels_tpu.ops.grm import encode_dosage, gram_dosage
+
+    rng = np.random.default_rng(8)
+    X = rng.integers(0, ploidy + 1, size=(n, 53)).astype(np.float64) / ploidy
+    D = encode_dosage(X, ploidy=ploidy)
+    K = np.asarray(gram_dosage(D, ploidy=ploidy), dtype=np.float64)
+    Z = X - X.mean(axis=0, keepdims=True)
+    K64 = Z @ Z.T
+    assert np.abs(K - K64).max() < 1e-5
+    Kraw = np.asarray(gram_dosage(D, ploidy=ploidy, center=False), dtype=np.float64)
+    assert np.abs(Kraw - X @ X.T).max() < 1e-6
+
+
+def test_gram_auto_dispatch():
+    from genomicbreedingmodels_tpu.ops.grm import gram_auto
+
+    rng = np.random.default_rng(9)
+    Xd = rng.integers(0, 3, size=(32, 17)).astype(np.float64) / 2.0
+    Zd = Xd - Xd.mean(axis=0, keepdims=True)
+    assert np.abs(np.asarray(gram_auto(Xd)) - Zd @ Zd.T).max() < 1e-5
+    Xc = rng.random((32, 17)).astype(np.float32)
+    Zc = Xc - Xc.mean(axis=0, keepdims=True)
+    assert np.abs(np.asarray(gram_auto(Xc)) - Zc @ Zc.T).max() < 1e-3
+
+
+def test_grm_simple_uses_exact_dosage_path():
+    """grm_simple on a called-genotype panel routes through the int8 path and
+    matches the f64 VanRaden GRM essentially exactly."""
+    from genomicbreedingmodels_tpu.core.grm import grm_simple
+    from genomicbreedingmodels_tpu.core.structs import Genomes
+
+    rng = np.random.default_rng(10)
+    n, p = 24, 31
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float64) / 2.0
+    g = Genomes(
+        entries=np.asarray([f"e{i}" for i in range(n)], dtype=object),
+        populations=np.asarray(["pop"] * n, dtype=object),
+        loci_alleles=np.asarray([f"l{j}" for j in range(p)], dtype=object),
+        allele_frequencies=X,
+    )
+    K = grm_simple(g).genomic_relationship_matrix
+    mu = X.mean(axis=0)
+    Z = X - mu
+    denom = 2.0 * float(np.sum(mu * (1 - mu)))
+    assert np.abs(K - (Z @ Z.T) / denom).max() < 1e-6
