@@ -90,3 +90,40 @@ def test_streamer_imputes_missing_to_column_mean(tmp_path):
     _, _, dec = next(iter(st))
     assert np.isfinite(dec).all()
     assert dec[0, 0] == pytest.approx(0.5)
+
+
+def test_iter_dosage_exact_int8_shards(bed_trio):
+    """Complete shards come back int8 dosage = 2x frequency; the dosage-path
+    GRM matches the float-path GRM to float tolerance."""
+    prefix, genomes = bed_trio
+    st = BedShardStreamer(prefix, block_cols=128)
+    F = genomes.allele_frequencies
+    for a, b, S in st.iter_dosage():
+        if S.dtype == np.int8:
+            assert np.array_equal(S, (F[:, a:b] * 2).astype(np.int8))
+        else:  # shard containing missing: falls back to imputed float32
+            assert S.dtype == np.float32
+    K_auto = np.asarray(grm_from_bed(prefix, block_cols=128))
+    K_f32 = np.asarray(grm_from_bed(prefix, block_cols=128, dtype="float32"))
+    assert np.abs(K_auto - K_f32).max() < 1e-2 * max(1.0, np.abs(K_f32).max())
+
+
+def test_dosage_shard_with_missing_falls_back(tmp_path):
+    rng = np.random.default_rng(3)
+    n, p = 20, 40
+    F = rng.choice([0.0, 0.5, 1.0], size=(n, p))
+    F[rng.random((n, p)) < 0.05] = np.nan  # write_bed encodes NaN as missing
+    genomes = gbm.Genomes(
+        entries=np.array([f"e{i}" for i in range(n)], dtype=object),
+        populations=np.array(["pop1"] * n, dtype=object),
+        loci_alleles=np.array([f"chr1\t{j+1}\tA|T\tA" for j in range(p)], dtype=object),
+        allele_frequencies=F,
+    )
+    prefix = tmp_path / "miss"
+    gbm.write_bed(genomes, prefix)
+    st = BedShardStreamer(prefix, block_cols=p)
+    shards = list(st.iter_dosage())
+    assert len(shards) == 1
+    _, _, S = shards[0]
+    assert S.dtype == np.float32  # missing present → imputed float path
+    assert np.isfinite(S).all()
