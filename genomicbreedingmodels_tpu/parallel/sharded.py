@@ -29,21 +29,31 @@ def _local_centered(Xl: jnp.ndarray) -> jnp.ndarray:
     return Xl - jnp.mean(Xl, axis=0, keepdims=True)
 
 
-def sharded_grm(X, mesh: Mesh) -> jnp.ndarray:
+def sharded_grm(X, mesh: Mesh, ploidy: int = 2) -> jnp.ndarray:
     """GRM numerator (centered Gram matrix) with marker sharding + psum.
 
     X: (n, p) sharded P(None, 'mp'). Returns replicated (n, n).
+    int8 input is treated as a dosage panel in {0..ploidy} (allele frequency
+    x ploidy — see ops/grm.py:gram_dosage): local Grams accumulate EXACTLY in
+    int32 on the MXU at 2x the bf16 rate, the psum over ICI moves the same
+    n x n f32 payload, and the result is rescaled by 1/ploidy².
     """
+    is_dosage = jnp.asarray(X).dtype == jnp.int8
 
     def kernel(Xl):
         # Raw local Gram (operands stay in the input dtype — bf16 panels feed
-        # the MXU at full rate), summed over marker shards via psum on ICI,
-        # then double-centered once: K = P (Σ_d X_d X_dᵀ) P. Same algebra as
-        # the single-chip path (ops/grm.py:center_gram) — no centered panel
-        # copy, no f32 upcast of the shard.
+        # the MXU at full rate; int8 dosage panels at 2x that, exactly),
+        # summed over marker shards via psum on ICI, then double-centered
+        # once: K = P (Σ_d X_d X_dᵀ) P. Same algebra as the single-chip path
+        # (ops/grm.py:center_gram) — no centered panel copy, no f32 upcast of
+        # the shard.
         from ..ops.grm import center_gram
 
-        Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.float32)
+        if is_dosage:
+            Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.int32)
+            Gl = Gl.astype(jnp.float32) / jnp.float32(ploidy * ploidy)
+        else:
+            Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.float32)
         return center_gram(jax.lax.psum(Gl, axis_name="mp"))
 
     fn = shard_map(

@@ -121,3 +121,22 @@ def test_sharded_gblup_cg_matches_dense():
     g_ref = K @ a_ref + y.mean()
     assert np.abs(np.asarray(alpha) - a_ref).max() < 1e-4
     assert np.corrcoef(np.asarray(gebv), g_ref)[0, 1] > 0.999
+
+
+def test_sharded_grm_int8_dosage_matches_dense(mesh8):
+    """int8 dosage panels through the sharded GRM: exact int32 local Grams,
+    same result as the f64 dense centered Gram."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genomicbreedingmodels_tpu.parallel.sharded import sharded_grm
+
+    rng = np.random.default_rng(11)
+    n, p = 32, 64
+    D = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    Dj = jax.device_put(jnp.asarray(D), NamedSharding(mesh8, P(None, "mp")))
+    K = np.asarray(sharded_grm(Dj, mesh8), dtype=np.float64)
+    X = D.astype(np.float64) / 2.0
+    Z = X - X.mean(axis=0, keepdims=True)
+    assert np.abs(K - Z @ Z.T).max() < 1e-5
