@@ -29,7 +29,7 @@ from .core.simulation import extract_phenomes, simulate_genomes, simulate_trials
 from .core.grm import grm_ploidy_aware, grm_simple, infer_ploidy
 from .core.tabularise import summarise, tabularise
 from .ops.metrics import metrics
-from .prediction import extractxyetc, predict
+from .prediction import extractxyetc, mean_impute, predict
 from .models.linear import lasso, ols, ridge
 from .models.bayesian import (
     bayesa,
@@ -104,6 +104,7 @@ __all__ = [
     "infer_ploidy",
     "metrics",
     "extractxyetc",
+    "mean_impute",
     "predict",
     "ols",
     "ridge",

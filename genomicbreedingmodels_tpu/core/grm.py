@@ -31,6 +31,13 @@ def _grm_from_freqs(freqs: np.ndarray, ploidy: int) -> GRMResult:
     from ..ops.grm import encode_dosage, gram_centered, gram_dosage
 
     X = np.asarray(freqs, dtype=np.float64)
+    if not np.all(np.isfinite(X)):
+        n_bad = int(X.size - np.count_nonzero(np.isfinite(X)))
+        raise ValueError(
+            f"the allele-frequency panel contains {n_bad} missing/non-finite "
+            "values; impute first (e.g. prediction.mean_impute) — a NaN panel "
+            "silently poisons the Gram product"
+        )
     col_mean = X.mean(axis=0)
     # VanRaden-style denominator: ploidy * sum_j fbar_j (1 - fbar_j).
     denom = float(ploidy) * float(np.sum(col_mean * (1.0 - col_mean)))

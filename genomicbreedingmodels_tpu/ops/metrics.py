@@ -1,10 +1,14 @@
 """Prediction-accuracy metrics (reference src/metrics.jl:115-128).
 
-All ten metrics are computed in one fused jit region (pure VPU reductions) and
-returned as a vector; the host wrapper converts to the same dict keys the
-reference exposes ("cor", "mad", "msd", "rmsd", "nrmsd", "euc", "jac", "tvar",
-"h²", "r²") plus ASCII aliases ("h2", "r2"). Zero-variance guards return 0.0
-exactly as the reference does (src/metrics.jl:25-27, :43-45, :75-77).
+The public `metrics` dict is computed in f64 on the host: these are O(n)
+reductions (negligible next to any model fit) and the reference's CV
+self-consistency invariant — across-entry cor equals per-entry-table cor to
+1e-10 (src/cross_validation.jl:263-264) — is unreachable in f32. The fused
+f32 `metrics_vector` jit remains for device-resident callers that fold the
+metrics into a larger XLA program. Dict keys mirror the reference ("cor",
+"mad", "msd", "rmsd", "nrmsd", "euc", "jac", "tvar", "h²", "r²") plus ASCII
+aliases ("h2", "r2"). Zero-variance guards return 0.0 exactly as the
+reference does (src/metrics.jl:25-27, :43-45, :75-77).
 """
 
 from __future__ import annotations
@@ -60,13 +64,43 @@ def metrics_vector(y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
 
 
 def metrics(y_true, y_pred) -> Dict[str, float]:
-    """Dict of all metrics; mirrors reference `metrics` (src/metrics.jl:115)."""
+    """Dict of all metrics; mirrors reference `metrics` (src/metrics.jl:115).
+
+    Computed in f64 on the host so the CV self-consistency invariant
+    (src/cross_validation.jl:263-264, 1e-10) holds exactly.
+    """
     y_true = np.asarray(y_true, dtype=np.float64)
     y_pred = np.asarray(y_pred, dtype=np.float64)
     if y_true.shape != y_pred.shape:
         raise ValueError("y_true and y_pred must have the same shape")
-    vals = np.asarray(metrics_vector(jnp.asarray(y_true), jnp.asarray(y_pred)))
-    out = {k: float(v) for k, v in zip(METRIC_NAMES, vals)}
+    n = y_true.shape[0]
+    d = y_true - y_pred
+    ddof = 1 if n > 1 else 0
+    var_t = float(np.var(y_true, ddof=ddof))
+    var_p = float(np.var(y_pred, ddof=ddof))
+    var_d = float(np.var(d, ddof=ddof))
+    low_var = (var_t < 1e-10) or (var_p < 1e-10)
+
+    mt, mp = y_true.mean(), y_pred.mean()
+    cov = float(np.sum((y_true - mt) * (y_pred - mp)))
+    denom = float(np.sqrt(np.sum((y_true - mt) ** 2) * np.sum((y_pred - mp) ** 2)))
+    cor = 0.0 if low_var else cov / (denom if denom != 0 else 1.0)
+
+    mad = float(np.mean(np.abs(d)))
+    msd = float(np.mean(d**2))
+    rmsd = float(np.sqrt(msd))
+    rng = float(y_true.max() - y_true.min()) if n else 0.0
+    nrmsd = rmsd / (rng if rng != 0 else 1.0)
+    euc = float(np.sqrt(np.sum(d**2)))
+    jac_den = float(np.sum(np.maximum(y_true, y_pred)))
+    jac = 1.0 - float(np.sum(np.minimum(y_true, y_pred))) / (jac_den if jac_den != 0 else 1.0)
+    tvar = 0.5 * float(np.sum(np.abs(d)))
+
+    h2_den = var_p + var_d
+    h2 = var_p / (h2_den if h2_den != 0 else 1.0) if h2_den >= 1e-20 else 0.0
+    h2 = min(max(0.0 if low_var else h2, 0.0), 1.0)
+    r2 = 0.0 if low_var else 1.0 - var_d / (var_t if var_t != 0 else 1.0)
+    out = dict(zip(METRIC_NAMES, (cor, mad, msd, rmsd, nrmsd, euc, jac, tvar, h2, r2)))
     out["h2"] = out["h²"]
     out["r2"] = out["r²"]
     return out

@@ -13,7 +13,26 @@ import numpy as np
 
 from .core.structs import Fit, Genomes, Phenomes
 
-__all__ = ["extractxyetc", "predict", "LINEAR_MODELS", "NON_LINEAR_MODELS"]
+__all__ = ["extractxyetc", "predict", "mean_impute", "LINEAR_MODELS", "NON_LINEAR_MODELS"]
+
+
+def mean_impute(G: np.ndarray) -> np.ndarray:
+    """Column-mean-impute missing/non-finite panel values (copy).
+
+    All-missing columns get 0.5 (the allele-frequency midpoint) so they stay
+    zero-variance and are dropped by downstream variance filters.
+    """
+    G = np.array(G, dtype=np.float64, copy=True)
+    bad = ~np.isfinite(G)
+    if bad.any():
+        import warnings
+
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns
+            col_mean = np.nanmean(np.where(bad, np.nan, G), axis=0)
+        col_mean = np.where(np.isfinite(col_mean), col_mean, 0.5)
+        G[bad] = np.broadcast_to(col_mean, G.shape)[bad]
+    return G
 
 LINEAR_MODELS = (
     "ols", "ridge", "lasso", "bayesa", "bayesb", "bayesc",
@@ -40,12 +59,19 @@ def extractxyetc(
     idx_loci_alleles: Optional[Sequence[int]] = None,
     idx_trait: int = 0,
     add_intercept: bool = True,
+    impute_missing: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract (X, y, entries, populations, loci_alleles) for one trait.
 
     Drops entries with missing/NaN/Inf phenotypes, requires >= 2 survivors and
     trait variance >= 1e-20 (reference src/prediction.jl:114-127). Indices are
     0-based (the reference is 1-based Julia).
+
+    Missing GENOTYPES are a hard error by default: the reference assumes an
+    imputed panel (its external core imputes upstream), and a NaN column
+    silently poisons every downstream GEMM. Pass `impute_missing="mean"` to
+    column-mean-impute the sliced panel in place of erroring (all-missing
+    columns become their 0.5 midpoint).
     """
     if not genomes.checkdims():
         raise ValueError("the Genomes struct is corrupted")
@@ -71,6 +97,15 @@ def extractxyetc(
         raise ValueError(f"very low or zero variance in trait: {phenomes.traits[idx_trait]!r}")
     rows = idx_e[keep]
     G = genomes.allele_frequencies[np.ix_(rows, idx_l)]
+    if not np.all(np.isfinite(G)):
+        if impute_missing == "mean":
+            G = mean_impute(G)
+        else:
+            n_bad = int(np.size(G) - np.count_nonzero(np.isfinite(G)))
+            raise ValueError(
+                f"the genotype panel contains {n_bad} missing/non-finite values; "
+                "impute upstream or pass impute_missing='mean'"
+            )
     entries = genomes.entries[rows]
     populations = genomes.populations[rows]
     loci_alleles = genomes.loci_alleles[idx_l]

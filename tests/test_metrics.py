@@ -26,6 +26,37 @@ def test_metric_values_match_closed_form():
     assert m["h2"] == m["h²"] and m["r2"] == m["r²"]
 
 
+def test_metrics_f64_precision():
+    """Host metrics run in f64: exact agreement with numpy's f64 formulas
+    (reference CV invariant needs 1e-10, unreachable in f32)."""
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=500)
+    yhat = y + rng.normal(scale=1e-3, size=500)
+    m = metrics(y, yhat)
+    assert abs(m["cor"] - np.corrcoef(y, yhat)[0, 1]) < 1e-12
+    assert abs(m["msd"] - np.mean((y - yhat) ** 2)) < 1e-15
+
+
+def test_cv_self_consistency_1e10(sim_small):
+    """Reference src/cross_validation.jl:259-264: the across-entry cor of each
+    CV job equals the cor recomputed from the per-entry table to 1e-10."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes, phenomes, _ = sim_small
+    cvs, _ = gbm.cvbulk(genomes, phenomes, models=("ridge",), n_replications=1, n_folds=3)
+    df_across, df_per = gbm.tabularise(cvs)
+    assert len(df_across) > 0
+    for _, row in df_across.iterrows():
+        sub = df_per[
+            (df_per.replication == row.replication)
+            & (df_per.fold == row.fold)
+            & (df_per.trait == row.trait)
+            & (df_per.model == row.model)
+        ]
+        c = np.corrcoef(sub.y_true.to_numpy(), sub.y_pred.to_numpy())[0, 1]
+        assert abs(c - row.cor) < 1e-10
+
+
 def test_zero_variance_guards():
     y = np.ones(10)
     yhat = np.arange(10.0)
