@@ -77,7 +77,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -97,6 +97,7 @@ def _gibbs_chain(
     iters=None,
     state_in=None,
     return_state: bool = False,
+    pinned: bool = False,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -324,6 +325,10 @@ def _gibbs_chain(
             # 3) Residual variance: σ²ₑ = (SSE + Sₑ) / χ²(n + dfₑ) (BGLR).
             sse = jnp.dot(r, r)
             sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + n)
+        if pinned:
+            # Oracle mode: variances held fixed so the marker-effect posterior
+            # is exactly Gaussian (conjugate) — used by the f64 parity suite.
+            sig_e2 = hyper["fix_e"]
 
         # 4) Marker variances.
         if per_marker_var:
@@ -382,6 +387,8 @@ def _gibbs_chain(
             s2_common = (ssb + S_b0 * df_b) / _chi2(k_a, df_b + nb)
             s2_common = jnp.clip(s2_common, 1e-10, 1e6)
             s2 = _vary(jnp.full((p_pad,), s2_common))
+        if pinned:
+            s2 = _vary(jnp.full((p_pad,), hyper["fix_b"]))
 
         # 5) Inclusion probability π (BayesB/C).
         if has_indicator:
@@ -413,10 +420,13 @@ def _gibbs_chain(
         mu0 = jnp.mean(y)
         r0 = y - mu0
         sig0 = jnp.var(y) * 0.5
+    if pinned:
+        sig0 = hyper["fix_e"]
+    s2_init = hyper["fix_b"] if pinned else S_b0 / jnp.maximum(df_b - 2.0, 0.5)
     state0 = (
         _vary(jnp.zeros(p_pad)),  # b
         r0,  # r
-        _vary(jnp.full((p_pad,), S_b0 / jnp.maximum(df_b - 2.0, 0.5))),  # s2
+        _vary(jnp.full((p_pad,), s2_init)),  # s2
         sig0,  # sig_e2
         mu0,  # mu
         pi_in0,  # pi
@@ -462,8 +472,15 @@ def gibbs_regression(
     response_type: str = "gaussian",
     chunk_size: int = None,
     checkpoint_path: str = None,
+    fix_sigma_e2: Optional[float] = None,
+    fix_sigma_b2: Optional[float] = None,
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
+
+    `fix_sigma_e2`/`fix_sigma_b2` (both required together) pin the residual
+    and marker variances, making the marker-effect posterior exactly Gaussian
+    — the conjugate-oracle mode used by tests/test_parity_oracles.py to check
+    the sampler against the closed-form posterior mean.
 
     `n_chains > 1` runs independent chains (vmapped — data-parallel across the
     batch dimension, or across devices under shard_map) and averages posterior
@@ -514,6 +531,9 @@ def gibbs_regression(
         # df=1 (Cauchy), scale 1, no hyper-scale update.
         df_b, S_b0 = 1.0, 1.0
     S_e0 = var_y * (1.0 - r2) * (df_e + 2.0)
+    pinned = fix_sigma_e2 is not None or fix_sigma_b2 is not None
+    if pinned and (fix_sigma_e2 is None or fix_sigma_b2 is None):
+        raise ValueError("fix_sigma_e2 and fix_sigma_b2 must be set together")
     hyper = {
         "df_b": jnp.float32(df_b),
         "S_b0": jnp.float32(S_b0),
@@ -523,6 +543,9 @@ def gibbs_regression(
         "pi_counts": jnp.float32(pi_counts),
         "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
     }
+    if pinned:
+        hyper["fix_e"] = jnp.float32(fix_sigma_e2)
+        hyper["fix_b"] = jnp.float32(fix_sigma_b2)
     if chunk_size is None and n_chains == 1:
         # Bound the sequential scan work per device call: the within-block
         # marker scan executes p_pad steps per sweep, and very long single
@@ -544,6 +567,7 @@ def gibbs_regression(
         n_blocks=p_pad // bs,
         response_id=response_id,
         n_cats=n_cats,
+        pinned=pinned,
     )
     if n_chains == 1:
         if chunk_size is not None and chunk_size < n_iter:

@@ -54,6 +54,13 @@ def gwasprep(
     Divergence from the reference: the GRM is built on the *selected entries*
     (the reference builds it on the full struct even when idx_entries subsets,
     which would mis-shape K; its doctests never subset).
+
+    Note the reference's column-standardization of K (src/gwas.jl:127-131)
+    makes K slightly ASYMMETRIC, so its REML covariance V = σ²ᵤK + σ²ₑI is
+    not a proper covariance matrix. The REML/LMM scans here symmetrize K
+    ((K+Kᵀ)/2) before the eigen-rotation — a documented divergence verified
+    against a dense-pinv f64 oracle of the symmetric-V objective
+    (tests/test_parity_oracles.py).
     """
     G, y, entries, populations, loci_alleles = extractxyetc(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
