@@ -17,7 +17,6 @@ and note strings mirror the reference (src/cross_validation.jl:358-371).
 from __future__ import annotations
 
 import concurrent.futures as _futures
-import os
 import warnings
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -156,7 +155,10 @@ def cvdispatch(
     skipped on restart (new capability vs the reference).
     """
     if n_workers is None:
-        n_workers = int(os.environ.get("GBM_CV_WORKERS", "1"))
+        # Flows from GBMConfig (env override GBM_CV_WORKERS).
+        from ..utils.config import get_config
+
+        n_workers = get_config().cv_workers
     ckpt = None
     sigs: List[Optional[str]] = [None] * len(jobs)
     if checkpoint_path is not None:
@@ -166,11 +168,16 @@ def cvdispatch(
         sigs = [job_signature(job) for job in jobs]
 
     results: List[Optional[CV]] = [None] * len(jobs)
+    from ..utils.logging import StageTimer, get_logger
+
+    timer = StageTimer()
 
     def run_one(i: int, job: dict) -> Optional[CV]:
         if ckpt is not None and sigs[i] in ckpt:
             return ckpt.get(sigs[i])
-        cv = _run_job(job, genomes, phenomes)
+        name = job["model"] if isinstance(job["model"], str) else getattr(job["model"], "__name__", "model")
+        with timer.stage(name):
+            cv = _run_job(job, genomes, phenomes)
         if ckpt is not None and cv is not None:
             ckpt.record(sigs[i], cv)
         return cv
@@ -183,6 +190,8 @@ def cvdispatch(
             futs = {pool.submit(run_one, i, job): i for i, job in enumerate(jobs)}
             for fut in _futures.as_completed(futs):
                 results[futs[fut]] = fut.result()
+    if verbose and timer.totals:
+        get_logger().info("cvdispatch per-model wall-clock: %s", timer.summary())
     return [r for r in results if r is not None]
 
 

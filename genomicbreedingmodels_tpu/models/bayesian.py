@@ -463,10 +463,10 @@ def gibbs_regression(
     X,
     y,
     model: str = "BayesA",
-    n_iter: int = 1_500,
-    n_burnin: int = 500,
+    n_iter: int = None,
+    n_burnin: int = None,
     seed: int = 42,
-    block_size: int = 256,
+    block_size: int = None,
     n_chains: int = 1,
     r2: float = 0.5,
     response_type: str = "gaussian",
@@ -498,6 +498,14 @@ def gibbs_regression(
         raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
     if response_type not in ("gaussian", "ordinal"):
         raise ValueError(f"unknown response_type {response_type!r}")
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    # MCMC defaults flow from GBMConfig (reference defaults n_iter=1500,
+    # n_burnin=500, src/linear.jl:446-447); override via GBM_MCMC_* env vars.
+    n_iter = cfg.mcmc_n_iter if n_iter is None else n_iter
+    n_burnin = cfg.mcmc_n_burnin if n_burnin is None else n_burnin
+    block_size = cfg.mcmc_block_size if block_size is None else block_size
     X = np.asarray(X, dtype=np.float32)
     response_id, n_cats = 0, 0
     if response_type == "ordinal":
@@ -607,8 +615,12 @@ def gibbs_regression(
         mus, bs_, sig_trace = jax.vmap(run)(keys)
         mu_hat = float(jnp.mean(mus))
         b_hat = np.asarray(jnp.mean(bs_, axis=0)[:p], dtype=np.float64)
-        sig_trace = sig_trace[0]
-    diag = {"sigma_e2_trace": np.asarray(sig_trace, dtype=np.float64)}
+    from ..utils.diagnostics import mcmc_diagnostics
+
+    traces = np.atleast_2d(np.asarray(sig_trace, dtype=np.float64))  # (m, T)
+    post = traces[:, n_burnin:] if traces.shape[1] > n_burnin else traces
+    diag = {"sigma_e2_trace": traces[0]}
+    diag.update(mcmc_diagnostics(post, name="sigma_e2"))
     return mu_hat, b_hat, diag
 
 
@@ -617,8 +629,8 @@ def bglr(
     y: np.ndarray,
     model: str = "BayesA",
     response_type: str = "gaussian",
-    n_iter: int = 1_500,
-    n_burnin: int = 500,
+    n_iter: int = None,
+    n_burnin: int = None,
     seed: int = 42,
     verbose: bool = False,
 ) -> np.ndarray:
@@ -646,8 +658,8 @@ def bayesian(
     idx_loci_alleles: Optional[Sequence[int]] = None,
     idx_trait: int = 0,
     response_type: str = "gaussian",
-    n_burnin: int = 500,
-    n_iter: int = 1_500,
+    n_burnin: int = None,
+    n_iter: int = None,
     seed: int = 42,
     n_chains: int = 1,
     verbose: bool = False,
@@ -692,8 +704,8 @@ def _alphabet(model_key: str, public_name: str):
         idx_entries=None,
         idx_loci_alleles=None,
         idx_trait: int = 0,
-        n_iter: int = 1_500,
-        n_burnin: int = 500,
+        n_iter: int = None,
+        n_burnin: int = None,
         seed: int = 42,
         n_chains: int = 1,
         verbose: bool = False,

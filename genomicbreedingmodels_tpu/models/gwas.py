@@ -406,25 +406,36 @@ def gwasreml(
     b_hat holds the z-statistic b / sqrt(Var(b)) of the marker effect from the
     GLS fit at the per-marker REML optimum.
     """
-    G, y, K, fit = _prep_device(
-        genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
-        idx_trait=idx_trait, GRM_type=GRM_type,
-    )
+    from ..utils.config import get_config
+    from ..utils.logging import StageTimer, get_logger
+
+    cfg = get_config()
+    timer = StageTimer()
+    with timer.stage("prep+grm"):
+        G, y, K, fit = _prep_device(
+            genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
+            idx_trait=idx_trait, GRM_type=GRM_type,
+        )
     fit.model = "GWAS_REML"
     n, l = G.shape
-    s_j, U = _eigh_device(K)
-    yt = U.T @ y
-    ones_t = U.T @ jnp.ones(n, jnp.float32)
-    Gt = jnp.dot(U.T, G, preferred_element_type=jnp.float32)  # one device GEMM
+    with timer.stage("eigh+rotate"):
+        s_j, U = _eigh_device(K)
+        yt = U.T @ y
+        ones_t = U.T @ jnp.ones(n, jnp.float32)
+        Gt = jnp.dot(U.T, G, preferred_element_type=jnp.float32)  # one device GEMM
     z_out = np.zeros(l)
-    for start in range(0, l, marker_block):
-        blk = Gt[:, start : start + marker_block]
-        Xt_all = jnp.stack(
-            [jnp.broadcast_to(ones_t[:, None], blk.shape), blk], axis=-1
-        ).transpose(1, 0, 2)  # (b, n, 2)
-        z, _ = _reml_scan(yt, Xt_all, s_j)
-        z_out[start : start + blk.shape[1]] = np.asarray(z, dtype=np.float64)
+    with timer.stage("reml_scan"):
+        for start in range(0, l, marker_block):
+            blk = Gt[:, start : start + marker_block]
+            Xt_all = jnp.stack(
+                [jnp.broadcast_to(ones_t[:, None], blk.shape), blk], axis=-1
+            ).transpose(1, 0, 2)  # (b, n, 2)
+            z, _ = _reml_scan(yt, Xt_all, s_j, n_grid=cfg.reml_grid, n_newton=cfg.reml_newton)
+            z_out[start : start + blk.shape[1]] = np.asarray(z, dtype=np.float64)
     fit.b_hat = z_out
+    fit.extras = {"timings": timer.summary()}
+    if verbose:
+        get_logger().info("gwasreml stages: %s", timer.summary())
     if not fit.checkdims():
         raise RuntimeError("error performing GWAS via REML")
     return fit

@@ -215,16 +215,25 @@ def _ridge_beta_from_eigh(s, U, Ut_yc, Z, mean_x, mean_y, lam: Array) -> Tuple[A
 def ridge_cv_path(
     X,
     y,
-    n_lambda: int = 100,
-    lambda_min_ratio: float = 0.01,
-    n_folds: int = 10,
+    n_lambda: int = None,
+    lambda_min_ratio: float = None,
+    n_folds: int = None,
     seed: int = 42,
 ) -> Tuple[float, np.ndarray, dict]:
-    """k-fold CV over a 100-point ridge λ path; glmnetcv-equivalent selection.
+    """k-fold CV over a ridge λ path; glmnetcv-equivalent selection.
 
-    Returns (b0, beta, info) where info carries the λ grid, CV mean losses and
-    the chosen index.
+    Path defaults (n_lambda=100, lambda_min_ratio=0.01, n_folds=10 — the
+    glmnet values the reference passes, src/linear.jl:193-203) come from
+    GBMConfig and are overridable via GBM_N_LAMBDA / GBM_LAMBDA_MIN_RATIO /
+    GBM_PATH_CV_FOLDS env vars. Returns (b0, beta, info) where info carries
+    the λ grid, CV mean losses and the chosen index.
     """
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    n_lambda = cfg.n_lambda if n_lambda is None else n_lambda
+    lambda_min_ratio = cfg.lambda_min_ratio if lambda_min_ratio is None else lambda_min_ratio
+    n_folds = cfg.path_cv_folds if n_folds is None else n_folds
     X = jnp.asarray(X, dtype=jnp.float32)
     y = jnp.asarray(y, dtype=jnp.float32)
     n = X.shape[0]
@@ -329,9 +338,9 @@ def _sis_scores(X: Array, y: Array, w: Array) -> Array:
 def lasso_cv_path(
     X,
     y,
-    n_lambda: int = 100,
-    lambda_min_ratio: float = 0.01,
-    n_folds: int = 10,
+    n_lambda: int = None,
+    lambda_min_ratio: float = None,
+    n_folds: int = None,
     seed: int = 42,
     n_iter: int = 400,
     screen_factor: int = 8,
@@ -344,8 +353,14 @@ def lasso_cv_path(
     solution has at most n_tr nonzero coefficients, so the screened set is a
     superset of the active set in all but adversarial LD structures, and the
     dense-FISTA work scales with n instead of p. Set screen_factor=0 to
-    disable.
+    disable. Path defaults come from GBMConfig (see ridge_cv_path).
     """
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    n_lambda = cfg.n_lambda if n_lambda is None else n_lambda
+    lambda_min_ratio = cfg.lambda_min_ratio if lambda_min_ratio is None else lambda_min_ratio
+    n_folds = cfg.path_cv_folds if n_folds is None else n_folds
     X = jnp.asarray(X, dtype=jnp.float32)
     y = jnp.asarray(y, dtype=jnp.float32)
     n, p = X.shape

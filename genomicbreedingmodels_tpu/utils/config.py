@@ -52,3 +52,9 @@ def get_config() -> GBMConfig:
 def set_config(cfg: GBMConfig) -> None:
     global _config
     _config = cfg
+
+
+def reset_config() -> None:
+    """Drop the cached config so the next get_config() re-reads the env."""
+    global _config
+    _config = None

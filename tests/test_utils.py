@@ -24,6 +24,75 @@ def test_config_env_override(monkeypatch):
     assert cfg.lambda_min_ratio == 0.05
 
 
+def test_config_flows_into_lambda_path(monkeypatch):
+    """GBMConfig defaults are actually READ by library code: an env override
+    changes the ridge λ-path length."""
+    from genomicbreedingmodels_tpu.ops.linalg import ridge_cv_path
+    from genomicbreedingmodels_tpu.utils.config import reset_config
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(size=(40, 60))
+    y = rng.normal(size=40)
+    monkeypatch.setenv("GBM_N_LAMBDA", "17")
+    reset_config()
+    try:
+        _, _, info = ridge_cv_path(X, y, n_folds=4)
+        assert len(info["lambdas"]) == 17
+    finally:
+        monkeypatch.delenv("GBM_N_LAMBDA")
+        reset_config()
+
+
+def test_config_flows_into_mcmc(monkeypatch):
+    """GBM_MCMC_N_ITER override shortens the sampler's trace."""
+    from genomicbreedingmodels_tpu.utils.config import reset_config
+
+    rng = np.random.default_rng(1)
+    X = rng.uniform(size=(30, 20))
+    y = rng.normal(size=30)
+    monkeypatch.setenv("GBM_MCMC_N_ITER", "60")
+    monkeypatch.setenv("GBM_MCMC_N_BURNIN", "20")
+    reset_config()
+    try:
+        _, _, diag = gbm.gibbs_regression(X, y, model="BRR", seed=3)
+        assert len(diag["sigma_e2_trace"]) == 60
+    finally:
+        monkeypatch.delenv("GBM_MCMC_N_ITER")
+        monkeypatch.delenv("GBM_MCMC_N_BURNIN")
+        reset_config()
+
+
+def test_mcmc_diagnostics_well_posed_vs_short():
+    """R̂ < 1.05 on a well-posed multi-chain run; a deliberately short
+    unburned chain is flagged as unconverged."""
+    rng = np.random.default_rng(5)
+    n, p = 60, 30
+    X = rng.uniform(size=(n, p))
+    b = rng.normal(size=p)
+    y = X @ b * 0.3 + rng.normal(size=n)
+    _, _, diag = gbm.gibbs_regression(
+        X, y, model="BRR", n_iter=600, n_burnin=200, n_chains=4, seed=7
+    )
+    assert diag["rhat_sigma_e2"] < 1.05
+    assert diag["ess_sigma_e2"] >= 100
+    assert diag["converged"]
+    _, _, diag_short = gbm.gibbs_regression(
+        X, y, model="BRR", n_iter=25, n_burnin=0, n_chains=4, seed=7
+    )
+    assert not diag_short["converged"]
+
+
+def test_split_rhat_detects_disagreeing_chains():
+    from genomicbreedingmodels_tpu.utils.diagnostics import ess, split_rhat
+
+    rng = np.random.default_rng(2)
+    good = rng.normal(size=(4, 400))
+    assert split_rhat(good) < 1.02
+    assert ess(good) > 400
+    bad = good + np.arange(4)[:, None] * 3.0  # chains at different levels
+    assert split_rhat(bad) > 1.5
+
+
 def test_stage_timer():
     t = StageTimer()
     with t.stage("a"):
