@@ -1,9 +1,9 @@
 """Batched cross-validation engine: every (trait, replication, fold, λ) as
-one XLA program.
+one XLA program, with the fold axis dispatched over a device mesh.
 
 The reference's CV loop refits glmnet per fold in a Julia thread pool
 (src/cross_validation.jl:159-185 + src/linear.jl:193). The TPU-native engine
-exploits that RR-BLUP/ridge folds share one Gram matrix:
+exploits that RR-BLUP/ridge/GBLUP folds share one Gram matrix:
 
 1. K = Z Zᵀ is built ONCE on the MXU (the O(n²p) term).
 2. A fold is a {0,1} training mask w. The masked dual system
@@ -11,8 +11,19 @@ exploits that RR-BLUP/ridge folds share one Gram matrix:
    has identity rows on held-out entries, so its Cholesky solve equals the
    fold's exact training-only dual ridge — no gather/scatter, static shapes.
 3. Each fold's masked Gram is eigendecomposed once; the whole λ path comes
-   from that basis, and per-fold λ is chosen by training-only GCV (never the
-   validation rows — matching glmnet's inside-the-training-set selection).
+   from that basis. Per-fold λ selection never touches validation rows:
+   - ridge: training-only GCV (glmnet-equivalent inside-the-training-set
+     selection);
+   - gblup: the REML profile criterion over a variance-ratio grid — GBLUP
+     IS ridge with the REML-chosen ratio, so this is the batched analogue
+     of models/gblup.py;
+   - lasso: batched pathwise FISTA per fold with training GCV using the
+     active-set size as degrees of freedom.
+4. **Mesh dispatch** (SURVEY §7 step 7: "fold×model axis over the device
+   mesh"): the fold batch is sharded P('dp') through shard_map — each device
+   eigendecomposes and solves its own folds; K/y ride along replicated. On a
+   pod slice the (reps × folds) sweep therefore runs D-wide; the same code
+   runs on the 8-device virtual CPU mesh in tests.
 
 Fold-label RNG matches `cvbulk` (uniform with replacement, seeded), so the
 fold composition of the two engines is identical for a given seed.
@@ -26,12 +37,16 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.structs import CV, Fit, Genomes, Phenomes
 from ..ops.metrics import metrics
 from .harness import _common_checks
 
 __all__ = ["cvbulk_batched"]
+
+BATCHED_MODELS = ("ridge", "gblup", "lasso")
 
 
 @partial(jax.jit, static_argnames=())
@@ -40,11 +55,10 @@ def _gram(X):
     return jnp.dot(Z, Z.T, preferred_element_type=jnp.float32), Z
 
 
-@jax.jit
 def _fold_solve(K, y, w, lambdas):
-    """One fold, all λ from one eigendecomposition of the masked Gram.
+    """One ridge fold, all λ from one eigendecomposition of the masked Gram.
 
-    Returns (preds (L, n), gammas (L, n), gcv (L,)). λ selection uses
+    Returns (preds (L, n), gammas (L, n), crit (L,)). λ selection uses
     training-only GCV — MSE_train / (1 - edf/n_w)² — NEVER the validation
     rows (the reference's glmnet likewise selects λ inside the training set).
     """
@@ -70,22 +84,118 @@ def _fold_solve(K, y, w, lambdas):
     return preds, gammas, gcv
 
 
+def _fold_solve_gblup(K, y, w, ratios):
+    """One GBLUP fold: same masked-Gram eigenbasis, variance ratio chosen by
+    the REML profile criterion (models/gblup.py's semantics, batched).
+
+    The masked Gram's spectrum is {training-submatrix spectrum} ∪ {0 per
+    validation row} (validation rows/cols are exactly zero); eigenpairs are
+    weighted by their training support Σⱼ wⱼ U²ⱼᵢ ∈ {0,1} so the log-det term
+    counts only training dimensions. crit(r) = Σᵢ ωᵢ log(sᵢ+r) +
+    (Σω) log Σᵢ ỹᵢ²/(sᵢ+r) — the profile (σ²ᵤ-concentrated) likelihood.
+    """
+    n_w = jnp.sum(w)
+    mean_y = jnp.sum(w * y) / n_w
+    yc = (y - mean_y) * w
+    Kw = K * w[:, None] * w[None, :]
+    s, U = jnp.linalg.eigh(Kw)
+    s = jnp.maximum(s, 0.0)
+    Ut_y = U.T @ yc
+    wU = jnp.dot(w, U * U)  # per-eigenpair training support, (n,)
+
+    def per_r(r):
+        d = s + r
+        gamma = U @ (Ut_y / d)
+        gamma = w * gamma
+        pred = mean_y + K @ gamma
+        m = jnp.sum(wU)
+        quad = jnp.maximum(jnp.sum(Ut_y * Ut_y / d), 1e-30)
+        crit = jnp.sum(wU * jnp.log(jnp.maximum(d, 1e-30))) + m * jnp.log(quad)
+        return pred, gamma, crit
+
+    preds, gammas, crit = jax.vmap(per_r)(ratios)
+    return preds, gammas, crit
+
+
+def _solve_folds(K, y, W, grid, mesh: Optional[Mesh], kind: str):
+    """Dispatch the fold batch: vmap on one device, or shard_map over the
+    mesh's 'dp' axis with folds partitioned across devices."""
+    solver = _fold_solve if kind == "ridge" else _fold_solve_gblup
+    F, n = W.shape
+    if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
+        fn = jax.jit(jax.vmap(lambda w: solver(K, y, w, grid)))
+        preds, gammas, crit = fn(jnp.asarray(W))
+        return np.asarray(preds), np.asarray(gammas), np.asarray(crit)
+    axis = list(mesh.shape.keys())[0]
+    D = mesh.shape[axis]
+    Fp = ((F + D - 1) // D) * D
+    if Fp != F:  # pad with all-training dummy folds; results discarded
+        W = np.concatenate([W, np.ones((Fp - F, n), dtype=W.dtype)], axis=0)
+
+    def kernel(Wl):
+        return jax.vmap(lambda w: solver(K, y, w, grid))(Wl)
+
+    fn = shard_map(
+        kernel, mesh=mesh, in_specs=(P(axis, None),),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    preds, gammas, crit = jax.jit(fn)(jnp.asarray(W))
+    return np.asarray(preds[:F]), np.asarray(gammas[:F]), np.asarray(crit[:F])
+
+
+def _lasso_fold(X, y, w, lambdas, n_iter=300):
+    """One LASSO fold: batched pathwise FISTA (ops/linalg) on the fold's
+    training rows; GCV with active-set df for training-only λ selection.
+
+    Returns (preds (L, n), B (p, L), crit (L,), b0 (L,))."""
+    from ..ops import linalg as L
+
+    n_tr = jnp.sum(w)
+    mean_y = jnp.sum(w * y) / n_tr
+    mean_x = jnp.sum(w[:, None] * X, axis=0) / n_tr
+    Z = X - mean_x[None, :]
+    yc = y - mean_y
+    step = jnp.float32(1.0) / jnp.maximum(L._power_iter_lmax(w[:, None] * Z) / n_tr, 1e-12)
+    B = L._lasso_fista_batch(Z, yc, w, lambdas, step, n_iter)  # (p, L)
+    preds = mean_y + jnp.dot(Z, B, preferred_element_type=jnp.float32)  # (n, L)
+    res_tr = ((y[:, None] - preds) * w[:, None]) ** 2
+    mse = jnp.sum(res_tr, axis=0) / n_tr
+    df = jnp.sum(jnp.abs(B) > 1e-8, axis=0).astype(jnp.float32)
+    gcv = mse / jnp.maximum((1.0 - jnp.minimum(df, n_tr - 1.0) / n_tr) ** 2, 1e-6)
+    b0 = mean_y - jnp.dot(mean_x, B)
+    return preds.T, B, gcv, b0
+
+
+_lasso_fold_jit = jax.jit(_lasso_fold, static_argnames=("n_iter",))
+
+
 def cvbulk_batched(
     genomes: Genomes,
     phenomes: Phenomes,
+    models: Sequence[str] = ("ridge",),
     n_replications: int = 5,
     n_folds: int = 5,
     seed: int = 42,
     lambdas: Optional[Sequence[float]] = None,
     store_effects: bool = True,
+    mesh: Optional[Mesh] = None,
     verbose: bool = False,
 ) -> Tuple[List[CV], List[str]]:
-    """Replicated k-fold ridge/RR-BLUP CV, fully batched on device.
+    """Replicated k-fold CV, fully batched on device, fold axis over the mesh.
 
-    Returns the same (cvs, notes) surface as `cvbulk(models=["ridge"])`; each
-    CV's fit carries the fold's chosen λ in `extras` and (with
-    `store_effects`) RR-BLUP marker effects in `b_hat` so `predict` works.
+    `models` ⊆ {"ridge", "gblup", "lasso"}. Returns the same (cvs, notes)
+    surface as `cvbulk`; each CV's fit carries the fold's chosen λ (or
+    variance ratio) in `extras` and (with `store_effects`) marker effects in
+    `b_hat` so `predict` works. Pass `mesh=Mesh(jax.devices(), ('dp',))` to
+    spread folds across devices (ridge/gblup; lasso folds run as successive
+    single-program λ batches).
     """
+    for m in models:
+        if m not in BATCHED_MODELS:
+            raise ValueError(
+                f"{m!r} is not a batched CV model; choose from {BATCHED_MODELS} "
+                "(use cvbulk for the full model zoo)"
+            )
     _common_checks(genomes, phenomes, ["ridge"])
     n, p = genomes.allele_frequencies.shape
     if not (1 <= n_folds <= n):
@@ -98,19 +208,24 @@ def cvbulk_batched(
 
     X = jnp.asarray(genomes.allele_frequencies, jnp.float32)
     K, Z = _gram(X)
+    # gblup variance-ratio grid, scaled to the Gram's trace.
+    tr_scale = float(jnp.trace(K)) / n
+    ratio_grid = jnp.asarray(tr_scale * np.logspace(-3.0, 3.0, 13), jnp.float32)
 
-    rng = np.random.default_rng(seed)
+    lasso_lams = None
     cvs: List[CV] = []
     notes: List[str] = []
-    solve_batch = jax.jit(jax.vmap(_fold_solve, in_axes=(None, None, 0, None)))
+    rng = np.random.default_rng(seed)  # one stream: fold labels match cvbulk
 
     for idx_trait, trait in enumerate(phenomes.traits.tolist()):
         phi = np.asarray(phenomes.phenotypes[:, idx_trait], dtype=np.float64)
         finite = np.isfinite(phi)
         y = jnp.asarray(np.where(finite, phi, 0.0), jnp.float32)
+        # Build ALL (replication, fold) masks for this trait up front: the
+        # whole sweep is then F = reps × folds device problems in one batch.
+        w_list, v_list, tags = [], [], []
         for i in range(1, n_replications + 1):
             fold_labels = rng.integers(1, n_folds + 1, size=n)
-            w_list, v_list, fold_ids = [], [], []
             for j in range(1, n_folds + 1):
                 tr_mask = (fold_labels != j) & finite
                 va_mask = (fold_labels == j) & finite
@@ -122,58 +237,125 @@ def cvbulk_batched(
                     continue
                 w_list.append(tr_mask.astype(np.float32))
                 v_list.append(va_mask.astype(np.float32))
-                fold_ids.append(j)
-            if not w_list:
-                continue
-            W = jnp.asarray(np.stack(w_list))
-            V = np.stack(v_list)
-            preds, gammas, gcv = solve_batch(K, y, W, lambdas_j)  # (F, L, ...)
-            # λ per fold by training-only GCV (no validation leakage).
-            best = np.argmin(np.asarray(gcv), axis=1)
-            for f, j in enumerate(fold_ids):
-                lam = float(lambdas[best[f]])
-                pred_f = np.asarray(preds[f, best[f]], dtype=np.float64)
-                rows = np.flatnonzero(V[f] > 0)
-                tr_rows = np.flatnonzero(np.asarray(W[f]) > 0)
-                y_true = phi[rows]
-                y_pred = pred_f[rows]
-                if store_effects:
-                    gamma = np.asarray(gammas[f, best[f]], dtype=np.float64)
-                    wf = np.asarray(W[f], dtype=np.float64)
-                    Zn = np.asarray(Z, dtype=np.float64)
-                    beta = Zn.T @ (wf * gamma)
-                    mean_y = float((wf * phi).sum() / wf.sum())
-                    b0 = mean_y - float(
-                        np.asarray(genomes.allele_frequencies, dtype=np.float64).mean(axis=0) @ beta
+                tags.append((i, j))
+        if not w_list:
+            continue
+        W = np.stack(w_list)
+        V = np.stack(v_list)
+
+        for model in models:
+            if model in ("ridge", "gblup"):
+                grid = lambdas_j if model == "ridge" else ratio_grid
+                grid_np = np.asarray(lambdas) if model == "ridge" else np.asarray(ratio_grid, dtype=np.float64)
+                preds, gammas, crit = _solve_folds(K, y, W, grid, mesh, model)
+                best = np.argmin(crit, axis=1)
+                for f, (i, j) in enumerate(tags):
+                    cvs.append(
+                        _emit_dual(
+                            genomes, phi, W[f], V[f], preds[f, best[f]],
+                            gammas[f, best[f]], Z, model, str(trait), i, j,
+                            float(grid_np[best[f]]), store_effects,
+                        )
                     )
-                    b_hat = np.concatenate([[b0], beta])
-                    labels = np.concatenate(
-                        [np.asarray(["intercept"], dtype=object), genomes.loci_alleles]
+            else:  # lasso
+                if lasso_lams is None:
+                    from ..ops.linalg import make_lambda_grid
+
+                    finite_any = np.isfinite(phi)
+                    lasso_lams = jnp.asarray(
+                        make_lambda_grid(
+                            np.asarray(genomes.allele_frequencies)[finite_any],
+                            phi[finite_any], n_lambda=16, alpha=1.0,
+                        ),
+                        jnp.float32,
                     )
-                else:
-                    b_hat = np.zeros(1)
-                    labels = np.asarray(["intercept"], dtype=object)
-                fit = Fit(
-                    model="ridge",
-                    b_hat=b_hat,
-                    b_hat_labels=labels,
-                    trait=str(trait),
-                    entries=genomes.entries[tr_rows],
-                    populations=genomes.populations[tr_rows],
-                    y_true=phi[tr_rows],
-                    y_pred=pred_f[tr_rows],
-                    metrics=metrics(phi[tr_rows], pred_f[tr_rows]),
-                    extras={"lambda": lam, "engine": "batched"},
-                )
-                cv = CV(
-                    replication=f"replication_{i}",
-                    fold=f"fold_{j}",
-                    fit=fit,
-                    validation_populations=genomes.populations[rows],
-                    validation_entries=genomes.entries[rows],
-                    y_true=y_true,
-                    y_pred=y_pred,
-                    metrics=metrics(y_true, y_pred),
-                )
-                cvs.append(cv)
+                for f, (i, j) in enumerate(tags):
+                    w = jnp.asarray(W[f])
+                    preds_l, B, crit_l, b0_l = _lasso_fold_jit(X, y, w, lasso_lams)
+                    bidx = int(np.argmin(np.asarray(crit_l)))
+                    cvs.append(
+                        _emit_lasso(
+                            genomes, phi, W[f], V[f],
+                            np.asarray(preds_l[bidx], dtype=np.float64),
+                            np.asarray(B[:, bidx], dtype=np.float64),
+                            float(b0_l[bidx]), str(trait), i, j,
+                            float(np.asarray(lasso_lams)[bidx]), store_effects,
+                        )
+                    )
     return cvs, notes
+
+
+def _emit_dual(genomes, phi, w, v, pred, gamma, Z, model, trait, rep, fold, lam, store_effects):
+    """Assemble Fit+CV for a dual-form (ridge/gblup) fold solution."""
+    pred = np.asarray(pred, dtype=np.float64)
+    rows = np.flatnonzero(v > 0)
+    tr_rows = np.flatnonzero(w > 0)
+    if store_effects:
+        gamma = np.asarray(gamma, dtype=np.float64)
+        wf = np.asarray(w, dtype=np.float64)
+        Zn = np.asarray(Z, dtype=np.float64)
+        beta = Zn.T @ (wf * gamma)
+        mean_y = float((wf * phi).sum() / wf.sum())
+        b0 = mean_y - float(
+            np.asarray(genomes.allele_frequencies, dtype=np.float64).mean(axis=0) @ beta
+        )
+        b_hat = np.concatenate([[b0], beta])
+        labels = np.concatenate([np.asarray(["intercept"], dtype=object), genomes.loci_alleles])
+    else:
+        b_hat = np.zeros(1)
+        labels = np.asarray(["intercept"], dtype=object)
+    fit = Fit(
+        model=model,
+        b_hat=b_hat,
+        b_hat_labels=labels,
+        trait=trait,
+        entries=genomes.entries[tr_rows],
+        populations=genomes.populations[tr_rows],
+        y_true=phi[tr_rows],
+        y_pred=pred[tr_rows],
+        metrics=metrics(phi[tr_rows], pred[tr_rows]),
+        extras={"lambda": lam, "engine": "batched" if model == "ridge" else "batched-reml"},
+    )
+    return CV(
+        replication=f"replication_{rep}",
+        fold=f"fold_{fold}",
+        fit=fit,
+        validation_populations=genomes.populations[rows],
+        validation_entries=genomes.entries[rows],
+        y_true=phi[rows],
+        y_pred=pred[rows],
+        metrics=metrics(phi[rows], pred[rows]),
+    )
+
+
+def _emit_lasso(genomes, phi, w, v, pred, beta, b0, trait, rep, fold, lam, store_effects):
+    rows = np.flatnonzero(v > 0)
+    tr_rows = np.flatnonzero(w > 0)
+    if store_effects:
+        b_hat = np.concatenate([[b0], beta])
+        labels = np.concatenate([np.asarray(["intercept"], dtype=object), genomes.loci_alleles])
+    else:
+        b_hat = np.zeros(1)
+        labels = np.asarray(["intercept"], dtype=object)
+    fit = Fit(
+        model="lasso",
+        b_hat=b_hat,
+        b_hat_labels=labels,
+        trait=trait,
+        entries=genomes.entries[tr_rows],
+        populations=genomes.populations[tr_rows],
+        y_true=phi[tr_rows],
+        y_pred=pred[tr_rows],
+        metrics=metrics(phi[tr_rows], pred[tr_rows]),
+        extras={"lambda": lam, "engine": "batched"},
+    )
+    return CV(
+        replication=f"replication_{rep}",
+        fold=f"fold_{fold}",
+        fit=fit,
+        validation_populations=genomes.populations[rows],
+        validation_entries=genomes.entries[rows],
+        y_true=phi[rows],
+        y_pred=pred[rows],
+        metrics=metrics(phi[rows], pred[rows]),
+    )

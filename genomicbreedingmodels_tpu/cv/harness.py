@@ -145,6 +145,7 @@ def cvdispatch(
     phenomes: Phenomes,
     n_workers: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
+    devices: Optional[Sequence] = None,
     verbose: bool = False,
 ) -> List[CV]:
     """Run CV jobs, overlapping host prep with device compute.
@@ -153,6 +154,14 @@ def cvdispatch(
     warned about and dropped rather than aborting the sweep. With
     `checkpoint_path`, finished jobs are appended to a resume ledger and
     skipped on restart (new capability vs the reference).
+
+    Multi-device placement: with `n_workers > 1` and more than one device,
+    job i is pinned to `devices[i % D]` via `jax.default_device` (thread-local
+    in JAX), so independent jobs fan out round-robin across the mesh's chips
+    — the job-level analogue of the reference's Julia thread pool, with chips
+    instead of threads. Pass `devices` to restrict the set. For the fully
+    batched fold×model alternative (one XLA program, folds sharded over the
+    mesh) see `cvbulk_batched(mesh=...)`.
     """
     if n_workers is None:
         # Flows from GBMConfig (env override GBM_CV_WORKERS).
@@ -171,13 +180,24 @@ def cvdispatch(
     from ..utils.logging import StageTimer, get_logger
 
     timer = StageTimer()
+    if devices is None and n_workers > 1:
+        import jax
+
+        devices = jax.devices()
+    round_robin = devices is not None and len(devices) > 1 and n_workers > 1
 
     def run_one(i: int, job: dict) -> Optional[CV]:
         if ckpt is not None and sigs[i] in ckpt:
             return ckpt.get(sigs[i])
         name = job["model"] if isinstance(job["model"], str) else getattr(job["model"], "__name__", "model")
         with timer.stage(name):
-            cv = _run_job(job, genomes, phenomes)
+            if round_robin:
+                import jax
+
+                with jax.default_device(devices[i % len(devices)]):
+                    cv = _run_job(job, genomes, phenomes)
+            else:
+                cv = _run_job(job, genomes, phenomes)
         if ckpt is not None and cv is not None:
             ckpt.record(sigs[i], cv)
         return cv

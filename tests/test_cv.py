@@ -152,3 +152,21 @@ def test_simulated_kinship_structure():
     K = Z @ Z.T / X.shape[1]
     offdiag = K[~np.eye(len(K), dtype=bool)]
     assert offdiag.std() / np.diag(K).mean() > 0.1
+
+
+def test_cvdispatch_round_robin_devices_identical(sim_small):
+    """Device round-robin placement (n_workers>1 over the 8-device CPU mesh)
+    must produce exactly the same CVs as serial dispatch."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes, phenomes, _ = sim_small
+    jobs = [
+        dict(model="ridge", idx_trait=0, idx_training=np.arange(0, 80),
+             idx_validation=np.arange(80, 100), replication="r1", fold=f"f{k}")
+        for k in range(6)
+    ]
+    cvs_serial = gbm.cvdispatch([dict(j) for j in jobs], genomes, phenomes, n_workers=1)
+    cvs_rr = gbm.cvdispatch([dict(j) for j in jobs], genomes, phenomes, n_workers=4)
+    assert len(cvs_serial) == len(cvs_rr) == 6
+    for a, b in zip(cvs_serial, cvs_rr):
+        np.testing.assert_allclose(a.y_pred, b.y_pred, rtol=1e-5, atol=1e-5)

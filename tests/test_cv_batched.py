@@ -44,3 +44,75 @@ def test_batched_argument_validation(sim_small):
         gbm.cvbulk_batched(genomes, phenomes, n_folds=0)
     with pytest.raises(ValueError):
         gbm.cvbulk_batched(genomes, phenomes, n_replications=0)
+    with pytest.raises(ValueError, match="batched CV model"):
+        gbm.cvbulk_batched(genomes, phenomes, models=("bayesa",))
+
+
+def test_batched_gblup_and_lasso_engines(sim_small):
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes, phenomes, _ = sim_small
+    cvs, _ = gbm.cvbulk_batched(
+        genomes, phenomes, models=("gblup", "lasso"), n_replications=1, n_folds=3, seed=42
+    )
+    by_model = {}
+    for c in cvs:
+        by_model.setdefault(c.fit.model, []).append(c.metrics["cor"])
+    assert set(by_model) == {"gblup", "lasso"}
+    assert np.mean(by_model["gblup"]) > 0.4
+    assert np.mean(by_model["lasso"]) > 0.4
+    # effects flow through the generic predict path
+    fit = cvs[0].fit
+    rows = [int(np.flatnonzero(genomes.entries == e)[0]) for e in cvs[0].validation_entries]
+    yp = gbm.predict(fit, genomes, idx_entries=rows)
+    np.testing.assert_allclose(yp, cvs[0].y_pred, rtol=1e-2, atol=1e-2)
+
+
+def test_batched_mesh_matches_single_device(sim_small):
+    """Fold-sharded shard_map dispatch must reproduce the unsharded batch."""
+    import jax
+    from jax.sharding import Mesh
+
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes, phenomes, _ = sim_small
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    cvs_m, _ = gbm.cvbulk_batched(
+        genomes, phenomes, models=("ridge", "gblup"), n_replications=2, n_folds=3,
+        seed=7, mesh=mesh,
+    )
+    cvs_1, _ = gbm.cvbulk_batched(
+        genomes, phenomes, models=("ridge", "gblup"), n_replications=2, n_folds=3,
+        seed=7, mesh=None,
+    )
+    assert len(cvs_m) == len(cvs_1) > 0
+    for a, b in zip(cvs_m, cvs_1):
+        assert a.fit.model == b.fit.model and a.fold == b.fold
+        np.testing.assert_allclose(a.y_pred, b.y_pred, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_mesh_batched_speedup_over_serial_dispatch(sim_small):
+    """VERDICT r1 item 3 'done' criterion: the batched/mesh engine beats the
+    1-worker serial harness by >3x on a 25-job ridge sweep."""
+    import time
+
+    import jax
+    from jax.sharding import Mesh
+
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes, phenomes, _ = sim_small
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    # warm both paths' compile caches on a tiny sweep first
+    gbm.cvbulk_batched(genomes, phenomes, n_replications=1, n_folds=2, seed=0, mesh=mesh)
+    gbm.cvbulk(genomes, phenomes, models=("ridge",), n_replications=1, n_folds=2, seed=0, n_workers=1)
+
+    t0 = time.perf_counter()
+    cvs_b, _ = gbm.cvbulk_batched(genomes, phenomes, n_replications=5, n_folds=5, seed=3, mesh=mesh)
+    t_batched = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cvs_s, _ = gbm.cvbulk(genomes, phenomes, models=("ridge",), n_replications=5, n_folds=5, seed=3, n_workers=1)
+    t_serial = time.perf_counter() - t0
+    assert len(cvs_b) == len(cvs_s) == 25
+    assert t_serial / t_batched > 3.0, (t_serial, t_batched)
