@@ -46,6 +46,7 @@ from .models.bayesian import (
 )
 from .models.gwas import gwaslmm, gwasols, gwasprep, gwasreml, loglikreml
 from .models.gblup import gblup, gblup_multitrait, reml_variance_components
+from .models.multitrait import gblup_multienv, gblup_multitrait_cov, mtgblup_em
 from .models.mlp import mlp
 from .cv.batched import cvbulk_batched
 from .plots import manhattan_data, plot_cv, plot_manhattan
@@ -122,6 +123,9 @@ __all__ = [
     "bglr",
     "gblup",
     "gblup_multitrait",
+    "gblup_multitrait_cov",
+    "gblup_multienv",
+    "mtgblup_em",
     "mlp",
     "read_bed",
     "BedShardStreamer",

@@ -1,0 +1,331 @@
+"""Multi-trait GBLUP with a full genetic covariance, and multi-environment
+GBLUP on trial records.
+
+BASELINE config 5 names "multi-trait/multi-env GBLUP" as a headline
+capability; the reference has no multi-trait model at all (its CV loops refit
+each trait independently, src/cross_validation.jl:345-358), so this is a new
+capability designed TPU-first:
+
+Model: Y (n × t) with vec(U) ~ N(0, G_g ⊗ K) and vec(E) ~ N(0, R ⊗ I) —
+G_g the t×t genetic covariance across traits, K the n×n GRM, R the t×t
+residual covariance. Eigendecompose K = U S Uᵀ ONCE (device eigh); in the
+rotated basis the model decouples across eigen-index i into independent
+t-dimensional problems ỹᵢ ~ N(0, sᵢ G_g + R). EM-REML then costs O(n t³)
+per iteration (t is 2-10: trivial) instead of the naive O((nt)³) — the same
+"rotate once, scalarize the mixed model" redesign as the GWAS REML scan
+(models/gwas.py), lifted to t dimensions.
+
+Borrowing strength: a low-heritability trait genetically correlated with a
+well-measured one gets strictly better GEBVs than its single-trait fit —
+tests/test_multitrait.py asserts this on correlated-trait simulations.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grm import grm_ploidy_aware, grm_simple, infer_ploidy
+from ..core.structs import Fit, Genomes, Phenomes, Trials
+from ..ops.metrics import metrics
+from .gblup import _eigh_sym, reml_variance_components
+
+__all__ = ["mtgblup_em", "gblup_multitrait_cov", "gblup_multienv"]
+
+
+def _psd_clip(A: np.ndarray, floor: float = 1e-10) -> np.ndarray:
+    A = (A + A.T) / 2.0
+    w, V = np.linalg.eigh(A)
+    return (V * np.maximum(w, floor)) @ V.T
+
+
+def mtgblup_em(
+    Yt: np.ndarray,
+    s: np.ndarray,
+    n_iter: int = 100,
+    tol: float = 1e-8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[float]]:
+    """EM-REML for the rotated multi-trait model ỹᵢ ~ N(0, sᵢ G_g + R).
+
+    Yt: (n, t) rotated centered phenotypes (Uᵀ Y_c); s: (n,) GRM eigenvalues.
+    Returns (G_g, R, M, logliks) with M (n, t) = E[ũ] the rotated BLUPs.
+    All math is f64 host einsums over t×t blocks — n×t³ flops, trivial.
+    """
+    n, t = Yt.shape
+    emp = Yt.T @ Yt / n
+    G_g = _psd_clip(0.5 * emp)
+    R = _psd_clip(0.5 * emp)
+    pos = s > 1e-10
+    n_pos = int(pos.sum())
+    logliks: List[float] = []
+    M = np.zeros_like(Yt)
+    for it in range(n_iter):
+        S = s[:, None, None] * G_g[None] + R[None]  # (n, t, t)
+        W = np.linalg.inv(S)
+        # loglik (up to const): -0.5 Σ (log|Sᵢ| + ỹᵢᵀ Wᵢ ỹᵢ)
+        sign, logdet = np.linalg.slogdet(S)
+        quad = np.einsum("ni,nij,nj->n", Yt, W, Yt)
+        ll = -0.5 * float(np.sum(logdet + quad))
+        logliks.append(ll)
+        sG = s[:, None, None] * G_g[None]  # (n, t, t) prior covs
+        C = np.einsum("nij,njk->nik", sG, W)  # (n, t, t)
+        M = np.einsum("nij,nj->ni", C, Yt)  # E[ũᵢ]
+        V = sG - np.einsum("nij,njk->nik", C, sG)  # posterior cov
+        Euu = np.einsum("ni,nj->nij", M, M) + V
+        Eres = Yt - M
+        Eee = np.einsum("ni,nj->nij", Eres, Eres) + V
+        G_new = _psd_clip(
+            np.sum(Euu[pos] / s[pos, None, None], axis=0) / max(n_pos, 1)
+        )
+        R_new = _psd_clip(np.sum(Eee, axis=0) / n)
+        delta = max(
+            np.abs(G_new - G_g).max() / max(np.abs(G_g).max(), 1e-12),
+            np.abs(R_new - R).max() / max(np.abs(R).max(), 1e-12),
+        )
+        G_g, R = G_new, R_new
+        if delta < tol:
+            break
+    return G_g, R, M, logliks
+
+
+def gblup_multitrait_cov(
+    genomes: Genomes,
+    phenomes: Phenomes,
+    idx_entries: Optional[Sequence[int]] = None,
+    idx_loci_alleles: Optional[Sequence[int]] = None,
+    GRM_type: str = "simple",
+    n_iter: int = 100,
+    verbose: bool = False,
+) -> List[Fit]:
+    """Multi-trait GBLUP with full genetic + residual trait covariances.
+
+    Complete-case across traits (rows with any missing phenotype are
+    dropped). Returns one Fit per trait whose `b_hat` are RR-BLUP-equivalent
+    marker effects — so `predict` and the CV harness work unchanged — and
+    whose `extras` carry the shared G_g / R / per-trait h² and genetic
+    correlations. Compare `gblup_multitrait` (independent per-trait solves):
+    this model borrows strength across genetically correlated traits.
+    """
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    if not phenomes.checkdims():
+        raise ValueError("the Phenomes struct is corrupted")
+    if not np.array_equal(genomes.entries, phenomes.entries):
+        raise ValueError("genomes and phenomes must be merged to have consistent entries")
+    idx_e = np.arange(genomes.n) if idx_entries is None else np.asarray(idx_entries, dtype=np.int64)
+    idx_l = (
+        np.arange(genomes.p)
+        if idx_loci_alleles is None
+        else np.asarray(idx_loci_alleles, dtype=np.int64)
+    )
+    Y_all = np.asarray(phenomes.phenotypes[idx_e], dtype=np.float64)
+    keep = np.flatnonzero(np.all(np.isfinite(Y_all), axis=1))
+    if len(keep) < 2:
+        raise ValueError("fewer than 2 entries with complete multi-trait records")
+    rows = idx_e[keep]
+    Y = Y_all[keep]
+    X = np.asarray(genomes.allele_frequencies[np.ix_(rows, idx_l)], dtype=np.float64)
+    if not np.all(np.isfinite(X)):
+        raise ValueError(
+            "the genotype panel contains missing/non-finite values; impute "
+            "upstream or use prediction.mean_impute"
+        )
+    entries = genomes.entries[rows]
+    populations = genomes.populations[rows]
+    loci_alleles = genomes.loci_alleles[idx_l]
+    n, t = Y.shape
+
+    sub = Genomes(
+        entries=entries, populations=populations, loci_alleles=loci_alleles,
+        allele_frequencies=X,
+    )
+    if GRM_type == "ploidy-aware":
+        grm = grm_ploidy_aware(sub, ploidy=infer_ploidy(X))
+    elif GRM_type == "simple":
+        grm = grm_simple(sub)
+    else:
+        raise ValueError(f"unrecognised GRM_type {GRM_type!r}")
+    K = grm.genomic_relationship_matrix.astype(np.float64)
+    denom = grm.denominator
+    s, U = _eigh_sym((K + K.T) / 2.0)
+
+    mu = Y.mean(axis=0)
+    Yc = Y - mu
+    Yt = U.T @ Yc
+    G_g, R, M, logliks = mtgblup_em(Yt, s, n_iter=n_iter)
+
+    # Rotated BLUPs → RR-BLUP-equivalent marker effects: u = U M and
+    # Z Zᵀ = denom·K ⇒ b_t = (1/denom) Zᵀ U (M_t / s) satisfies Z b_t = u_t
+    # on the GRM's column space (zero-eigen directions have M→0).
+    s_safe = np.where(s > 1e-10, s, np.inf)
+    Z = X - X.mean(axis=0, keepdims=True)
+    B = Z.T @ (U @ (M / s_safe[:, None])) / denom
+
+    kdiag = float(np.mean(np.diag(K)))
+    gvar = np.diag(G_g) * kdiag
+    rvar = np.diag(R)
+    d = np.sqrt(np.maximum(np.diag(G_g), 1e-30))
+    gcor = G_g / np.outer(d, d)
+
+    fits: List[Fit] = []
+    for k in range(t):
+        b = B[:, k]
+        b0 = float(mu[k] - X.mean(axis=0) @ b)
+        y_pred = b0 + X @ b
+        y_true = Y[:, k]
+        fit = Fit(
+            model="gblup",
+            b_hat=np.concatenate([[b0], b]),
+            b_hat_labels=np.concatenate(
+                [np.asarray(["intercept"], dtype=object), loci_alleles]
+            ),
+            trait=str(phenomes.traits[k]),
+            entries=entries,
+            populations=populations,
+            y_true=y_true,
+            y_pred=y_pred,
+            metrics=metrics(y_true, y_pred),
+            extras={
+                "engine": "multitrait-cov",
+                "sigma2_u": float(G_g[k, k]),
+                "sigma2_e": float(R[k, k]),
+                "h2": float(gvar[k] / (gvar[k] + rvar[k])) if gvar[k] + rvar[k] > 0 else 0.0,
+                "genetic_covariance": G_g,
+                "residual_covariance": R,
+                "genetic_correlations": gcor,
+                "loglik": logliks[-1] if logliks else float("nan"),
+            },
+        )
+        if not fit.checkdims():
+            raise RuntimeError("error fitting multitrait covariance gblup")
+        fits.append(fit)
+    return fits
+
+
+def gblup_multienv(
+    genomes: Genomes,
+    trials: Trials,
+    idx_trait: int = 0,
+    GRM_type: str = "simple",
+    n_rounds: int = 4,
+    verbose: bool = False,
+) -> Fit:
+    """Multi-environment GBLUP on raw trial records.
+
+    Model: y_r = μ + env_{e(r)} + u_{i(r)} + ε_r with env = year×season×site
+    combination (random intercepts, σ²_env) and u ~ N(0, σ²ᵤK). Alternating
+    closed-form solve (each step exact given the other):
+
+    1. env BLUP given u: shrunken env-mean residuals,
+       env_e = (σ²_env / (σ²_env + σ²_ε / m_e)) · mean_r∈e(y_r − μ − u_i);
+    2. entry solve given env: collapse env-corrected records to entry means
+       (balanced designs ⇒ homoscedastic) and run the eigenbasis GBLUP with
+       REML variance components (models/gblup.py machinery).
+
+    σ²_env is re-estimated each round from the shrunken effects' second
+    moment. Returns a Fit (RR-BLUP-equivalent effects, `predict`-compatible)
+    with variance components in extras.
+    """
+    if not genomes.checkdims():
+        raise ValueError("the Genomes struct is corrupted")
+    ent_index = {e: i for i, e in enumerate(genomes.entries.tolist())}
+    rows_entry = np.asarray([ent_index[e] for e in trials.entries.tolist()], dtype=np.int64)
+    env_keys = [
+        f"{y}|{sn}|{st}" for y, sn, st in zip(
+            trials.years.tolist(), trials.seasons.tolist(), trials.sites.tolist()
+        )
+    ]
+    uniq_envs, env_ids = np.unique(env_keys, return_inverse=True)
+    n_env = len(uniq_envs)
+    y_rec = np.asarray(trials.phenotypes[:, idx_trait], dtype=np.float64)
+    ok = np.isfinite(y_rec)
+    y_rec, rows_entry, env_ids = y_rec[ok], rows_entry[ok], env_ids[ok]
+    n = genomes.n
+
+    X = np.asarray(genomes.allele_frequencies, dtype=np.float64)
+    if not np.all(np.isfinite(X)):
+        raise ValueError(
+            "the genotype panel contains missing/non-finite values; impute "
+            "upstream or use prediction.mean_impute"
+        )
+    sub = Genomes(
+        entries=genomes.entries, populations=genomes.populations,
+        loci_alleles=genomes.loci_alleles, allele_frequencies=X,
+    )
+    if GRM_type == "ploidy-aware":
+        grm = grm_ploidy_aware(sub, ploidy=infer_ploidy(X))
+    elif GRM_type == "simple":
+        grm = grm_simple(sub)
+    else:
+        raise ValueError(f"unrecognised GRM_type {GRM_type!r}")
+    K = grm.genomic_relationship_matrix.astype(np.float64)
+    denom = grm.denominator
+    s, U = _eigh_sym((K + K.T) / 2.0)
+
+    mu = float(y_rec.mean())
+    u_entry = np.zeros(n)
+    env_eff = np.zeros(n_env)
+    m_e = np.bincount(env_ids, minlength=n_env).astype(np.float64)
+    m_i = np.bincount(rows_entry, minlength=n).astype(np.float64)
+    sigma2_env = max(float(np.var(
+        np.bincount(env_ids, weights=y_rec, minlength=n_env) / np.maximum(m_e, 1.0), ddof=1
+    )) if n_env > 1 else 0.0, 1e-8)
+    sigma2_e = max(float(np.var(y_rec, ddof=1)) * 0.5, 1e-8)
+    sigma2_u = sigma2_e
+
+    for _ in range(n_rounds):
+        # 1) env BLUP given current u
+        resid = y_rec - mu - u_entry[rows_entry]
+        env_mean = np.bincount(env_ids, weights=resid, minlength=n_env) / np.maximum(m_e, 1.0)
+        shrink = sigma2_env / (sigma2_env + sigma2_e / np.maximum(m_e, 1.0))
+        env_eff = shrink * env_mean
+        # EM-style update of σ²_env: second moment of the posterior.
+        post_var = sigma2_env * (1.0 - shrink)
+        sigma2_env = max(float(np.mean(env_eff**2 + post_var)), 1e-10)
+        # 2) entry solve given env: collapse to per-entry means
+        y_env_corr = y_rec - env_eff[env_ids]
+        ybar = np.bincount(rows_entry, weights=y_env_corr, minlength=n) / np.maximum(m_i, 1.0)
+        sigma2_e_bar_scale = float(np.mean(m_i[m_i > 0]))
+        sigma2_e_mean, sigma2_u = reml_variance_components(ybar, K, eig=(s, U))
+        sigma2_e = max(sigma2_e_mean * sigma2_e_bar_scale, 1e-10)
+        mu = float(ybar.mean())
+        d = np.maximum(sigma2_u * s + sigma2_e_mean, 1e-12)
+        alpha = U @ ((U.T @ (ybar - mu)) / d)
+        u_entry = sigma2_u * (K @ alpha)
+
+    Z = X - X.mean(axis=0, keepdims=True)
+    b = (sigma2_u / denom) * (Z.T @ alpha)
+    b0 = float(mu - X.mean(axis=0) @ b)
+    y_pred = b0 + X @ b
+    kdiag = float(np.mean(np.diag(K)))
+    h2 = (
+        sigma2_u * kdiag / (sigma2_u * kdiag + sigma2_e_mean)
+        if sigma2_u + sigma2_e_mean > 0 else 0.0
+    )
+    fit = Fit(
+        model="gblup",
+        b_hat=np.concatenate([[b0], b]),
+        b_hat_labels=np.concatenate(
+            [np.asarray(["intercept"], dtype=object), genomes.loci_alleles]
+        ),
+        trait=str(trials.traits[idx_trait]),
+        entries=genomes.entries,
+        populations=genomes.populations,
+        y_true=ybar,
+        y_pred=y_pred,
+        metrics=metrics(ybar, y_pred),
+        extras={
+            "engine": "multienv",
+            "sigma2_u": float(sigma2_u),
+            "sigma2_e": float(sigma2_e),
+            "sigma2_env": float(sigma2_env),
+            "h2": float(h2),
+            "n_environments": int(n_env),
+            "env_effects": {str(k): float(v) for k, v in zip(uniq_envs, env_eff)},
+        },
+    )
+    if not fit.checkdims():
+        raise RuntimeError("error fitting multi-environment gblup")
+    return fit
