@@ -18,6 +18,18 @@ TPU-first redesign of the hot paths:
   standard kinship LMM (EMMAX): variance components are estimated once on the
   null model (X = [1, PC1]), then per-marker GLS z-statistics are computed in
   the rotated basis. Divergence documented here intentionally.
+
+z-scale relationship between the scans (verified in
+tests/test_gwas.py::test_gwas_cross_method_top_hit): `gwaslmm`'s EMMAX z
+conditions on the null-model variance split and includes PC1, so at a true
+QTL it is *conservative* relative to `gwasreml`'s per-marker z, which
+re-estimates (σ²ₑ, σ²ᵤ) with the marker in the model (the marker soaks
+variance otherwise attributed to the polygenic term, shrinking its standard
+error). Empirically on the reference's tetraploid h²=0.5 doctest scenario the
+EMMAX z runs at ~0.5-0.6x the per-marker REML z with rank concordance
+(cor ≈ 0.8) and an identical argmax marker across all three scans; both match
+the reference's observable contract (same argmax under simple vs ploidy-aware
+GRMs, src/gwas.jl:325, :545-546).
 """
 
 from __future__ import annotations
@@ -320,15 +332,30 @@ def loglikreml(theta, data) -> float:
 
 
 def _rotated_loglik(theta, yt, Xt, s):
-    """Same objective on pre-rotated inputs; jax scalar fn of theta=(σ²e, σ²u)."""
+    """Same objective on pre-rotated inputs; jax scalar fn of theta=(σ²e, σ²u).
+
+    yᵀPy is evaluated as rᵀV⁻¹r with r = yt − Xt·b_GLS (algebraically equal to
+    yᵀV⁻¹y − qᵀ(XᵀV⁻¹X)⁻¹q but cancellation-free): near the σ²ₑ→0 boundary the
+    two-term form subtracts huge near-equal numbers and, in f32, can make a
+    degenerate corner look optimal (observed: a non-QTL marker scored z=37
+    because the scan landed on θ=(1e-6, 1) whose true f64 objective was +19
+    above the real optimum). The residual form is a sum of non-negative terms.
+    """
     d = theta[1] * s + theta[0]
     inv_d = 1.0 / d
     XtVX = jnp.einsum("nk,n,nm->km", Xt, inv_d, Xt)
     q = jnp.einsum("nk,n,n->k", Xt, inv_d, yt)
     sol = jnp.linalg.solve(XtVX, q)
-    yPy = jnp.sum(yt * yt * inv_d) - q @ sol
-    _, logdet = jnp.linalg.slogdet(XtVX)
-    return 0.5 * jnp.sum(jnp.log(d)) + yPy + logdet
+    r = yt - Xt @ sol
+    yPy = jnp.sum(r * r * inv_d)
+    sign, logdet = jnp.linalg.slogdet(XtVX)
+    val = 0.5 * jnp.sum(jnp.log(d)) + yPy + logdet
+    # Non-finite evaluations (the standardized GRM has an EXACT zero
+    # eigendirection, so V is singular as σ²ₑ→0 and XtVX overflows in f32)
+    # must rank as +inf: a NaN would otherwise win jnp.argmin over the grid
+    # seeds and freeze Newton on garbage (reference objective returns Inf on
+    # failure too, src/gwas.jl:477-481).
+    return jnp.where(jnp.isfinite(val) & (sign > 0), val, jnp.inf)
 
 
 _EPS = 1e-6

@@ -83,6 +83,51 @@ def test_gwaslmm_hits(gwas_data):
     assert 0 < fit.extras["sigma2_u"] <= 1.0
 
 
+def test_gwaslmm_grm_concordance(gwas_data):
+    """The reference gwaslmm doctest contract (src/gwas.jl:325): the argmax
+    marker is identical under the simple and ploidy-aware GRMs."""
+    genomes, phenomes, _ = gwas_data
+    fit1 = gbm.gwaslmm(genomes=genomes, phenomes=phenomes, GRM_type="simple")
+    fit2 = gbm.gwaslmm(genomes=genomes, phenomes=phenomes, GRM_type="ploidy-aware")
+    assert np.argmax(fit1.b_hat) == np.argmax(fit2.b_hat)
+    assert np.argmax(np.abs(fit1.b_hat)) == np.argmax(np.abs(fit2.b_hat))
+
+
+def test_gwas_cross_method_top_hit(gwas_data):
+    """gwaslmm (EMMAX), gwasreml (per-marker REML) and gwasols must all put
+    the strongest simulated QTL at argmax|stat| on the h²=0.5 tetraploid
+    scenario — the observable behavior the reference's three scans share on
+    its doctest setup (src/gwas.jl:202-203, :325, :545-546)."""
+    genomes, phenomes, effects = gwas_data
+    lmm = gbm.gwaslmm(genomes=genomes, phenomes=phenomes)
+    reml = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
+    ols = gbm.gwasols(genomes=genomes, phenomes=phenomes)
+    idx = genomes.locus_indices(lmm.b_hat_labels.tolist())
+    tops = {name: int(idx[np.argmax(np.abs(f.b_hat))]) for name, f in
+            [("lmm", lmm), ("reml", reml), ("ols", ols)]}
+    assert len(set(tops.values())) == 1, tops
+    e = effects[0]
+    main_qtl = int(e.idx_additive[np.argmax(np.abs(e.additive_effects))])
+    assert tops["lmm"] == main_qtl
+    # z-scale relationship (documented in models/gwas.py): the per-marker
+    # REML z re-estimates variance components per marker and has no PC1
+    # covariate, so it runs hotter than the EMMAX z at true QTL; the two
+    # scans still rank concordantly.
+    assert np.corrcoef(lmm.b_hat, reml.b_hat)[0, 1] > 0.6
+    assert np.abs(reml.b_hat).max() >= np.abs(lmm.b_hat).max()
+
+
+def test_gwasreml_no_degenerate_boundary_inflation(gwas_data):
+    """Regression: the f32 two-term yᵀPy evaluation let a non-QTL marker land
+    on the θ=(1e-6, 1) boundary with z=37 (true f64 objective +19 above the
+    real optimum). With the residual-form objective the scan's extreme |z|
+    stays in a sane range for n=120 and argmax is a real QTL."""
+    genomes, phenomes, effects = gwas_data
+    fit = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
+    assert np.abs(fit.b_hat).max() < 15.0
+    assert _top_hit_is_qtl(fit, genomes, effects, top_k=1)
+
+
 def test_loglikreml_matches_rotated(gwas_data):
     """Host reference-objective vs the rotated jax objective."""
     genomes, phenomes, _ = gwas_data
