@@ -33,3 +33,16 @@ def test_tri_decode_bijection():
     assert ((0 <= j) & (j <= i) & (i < nt)).all()
     # bijective: every (i, j) pair hit exactly once
     assert len({(a, b) for a, b in zip(i.tolist(), j.tolist())}) == T
+
+
+@pytest.mark.parametrize("n,p", [(64, 512), (100, 300), (129, 257)])
+def test_grm_pallas_int8_matches_gram_dosage(n, p):
+    """Exact int8 triangular kernel vs the XLA dosage path (both exact)."""
+    from genomicbreedingmodels_tpu.ops.grm import gram_dosage
+    from genomicbreedingmodels_tpu.ops.pallas_kernels import grm_pallas_int8
+
+    rng = np.random.default_rng(1)
+    D = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    Kp = np.asarray(grm_pallas_int8(D, ploidy=2, tm=32, tk=128))
+    Kd = np.asarray(gram_dosage(D, ploidy=2))
+    assert np.abs(Kp - Kd).max() < 1e-4
