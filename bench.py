@@ -83,70 +83,95 @@ def bench_northstar(on_tpu: bool) -> None:
     nb = max(1, n // 2048)  # ~2048-row panels
     b = -(-n // nb)
 
-    # Memory plan for the 16 GB chip: the f32 (n x n) Gram is 10 GB at
-    # n=50k and is kept LOWER TRIANGLE ONLY (accumulated in place via
-    # buffer donation; never mirrored). The int8 shard is 1.6 GB; its RNG
-    # runs in chunks because jax.random materializes 4-byte random bits per
-    # element (an unchunked 50k x 31k draw needs a 6.25 GB uint32 temp).
+    # Memory plan for the 16 GB chip: the Gram is stored as nb BLOCK-COLUMN
+    # TRAPEZOID PIECES (piece j = rows j*b.., cols j*b..(j+1)*b — the lower
+    # triangle only, ~5.4 GB at n=50k vs 10 GB square, 20 GB with the
+    # defensive copy XLA inserts for an in-place slice-update of a donated
+    # square buffer). Each shard update is then a pure elementwise add per
+    # piece, which donation aliases cleanly. The int8 shard is 1.6 GB; its
+    # RNG runs in chunks because jax.random materializes 4-byte random bits
+    # per element (an unchunked 50k x 31k draw needs a 6.25 GB uint32 temp).
+    bounds = []
+    lo = 0
+    while lo < n:
+        bounds.append((lo, min(lo + b, n)))
+        lo = min(lo + b, n)
+
     @partial(jax.jit, donate_argnums=(0,))
-    def accumulate_shard(K, key):
+    def accumulate_shard(pieces, key):
         ck = jax.random.split(key, rng_chunks)
         cw = p_shard // rng_chunks
         D = jnp.concatenate(
             [jax.random.randint(ck[c], (n, cw), 0, 3, dtype=jnp.int8) for c in range(rng_chunks)],
             axis=1,
         )
-        # Lower-triangle panel syrk accumulated into the donated Gram.
         # Panel products are int32-exact and < 2^24, so the f32 accumulation
         # across shards is lossless.
-        for j in range(nb):
-            lo = j * b
-            hi = min(lo + b, n)
-            if lo >= n:
-                break
+        out = []
+        for (lo, hi), piece in zip(bounds, pieces):
             panel = jnp.dot(D[lo:], D[lo:hi].T, preferred_element_type=jnp.int32)
-            K = jax.lax.dynamic_update_slice(
-                K,
-                jax.lax.dynamic_slice(K, (lo, lo), (n - lo, hi - lo))
-                + panel.astype(jnp.float32),
-                (lo, lo),
-            )
-        return K
+            out.append(piece + panel.astype(jnp.float32))
+        return out
 
     @partial(jax.jit, donate_argnums=(0,))
-    def center_scale_lower(K):
-        # Double-centering from the lower triangle only (upper stays zero):
-        # full row means = rowsum + colsum - diag (see ops/grm.py).
-        K = K / jnp.float32(4.0)  # ploidy^2
-        K = jnp.tril(K)  # each panel's diagonal block includes its upper half; re-mask
-        rs = jnp.sum(K, axis=1)
-        cs = jnp.sum(K, axis=0)
-        rm = (rs + cs - jnp.diagonal(K)) / n
+    def center_scale_pieces(pieces):
+        # Double-centering from the trapezoid pieces: full row means =
+        # rowsum + colsum - diag of the lower triangle (see ops/grm.py:
+        # center_gram_lower). Each piece's diagonal block is masked to its
+        # lower half first (the panel GEMM computed the full block).
+        pieces = [
+            jnp.concatenate(
+                [jnp.tril(piece[: hi - lo]), piece[hi - lo :]], axis=0
+            )
+            / jnp.float32(4.0)  # ploidy^2
+            for (lo, hi), piece in zip(bounds, pieces)
+        ]
+        rs = jnp.zeros(n, jnp.float32)
+        cs = jnp.zeros(n, jnp.float32)
+        dg = jnp.zeros(n, jnp.float32)
+        for (lo, hi), piece in zip(bounds, pieces):
+            rs = rs.at[lo:].add(jnp.sum(piece, axis=1))
+            cs = cs.at[lo:hi].add(jnp.sum(piece, axis=0))
+            dg = dg.at[lo:hi].set(jnp.diagonal(piece[: hi - lo]))
+        rm = (rs + cs - dg) / n
         gm = jnp.mean(rm)
-        return K - jnp.tril(rm[:, None] + rm[None, :] - gm)
+        out = []
+        for (lo, hi), piece in zip(bounds, pieces):
+            # The upper half of the diagonal block must STAY exactly zero
+            # (the CG matvec multiplies the full piece), so the centering
+            # correction is masked to the lower trapezoid.
+            corr = rm[lo:, None] + rm[None, lo:hi] - gm
+            w = hi - lo
+            mask = jnp.concatenate(
+                [jnp.tril(jnp.ones((w, w), jnp.float32)), jnp.ones((n - hi, w), jnp.float32)],
+                axis=0,
+            )
+            out.append(piece - corr * mask)
+        return out
 
     @partial(jax.jit, static_argnames=("iters",))
-    def gblup_cg_lower(L, y, iters=30):
-        # CG on K = L + L^T - diag(L) without materializing the mirror:
-        # each matvec is two GEMVs against the 10 GB triangle.
+    def gblup_cg_pieces(pieces, y, iters=30):
+        # CG on K = L + L^T - diag(L) straight from the pieces: per matvec,
+        # piece j contributes its block-column (lower, incl. diagonal block)
+        # and the mirror of its strictly-below-diagonal part.
         yc = y - jnp.mean(y)
-        d = jnp.diagonal(L)
-        lam = 1e-3 * jnp.sum(d) / L.shape[0]
+        dg = jnp.concatenate(
+            [jnp.diagonal(piece[: hi - lo]) for (lo, hi), piece in zip(bounds, pieces)]
+        )
+        lam = 1e-3 * jnp.sum(dg) / n
 
         def mv(v):
-            return (
-                jnp.dot(L, v, preferred_element_type=jnp.float32)
-                + jnp.dot(v, L, preferred_element_type=jnp.float32)
-                - d * v
-                + lam * v
-            )
+            # K v with K = L + L^T - diag(L): piece j contributes its block
+            # column of L (rows lo..n) and, transposed, its block row of L^T
+            # (covering both the within-diagonal-block upper entries and the
+            # cross-block mirror); the diagonal, counted twice, is removed.
+            out = lam * v - dg * v
+            for (lo, hi), piece in zip(bounds, pieces):
+                out = out.at[lo:].add(piece @ v[lo:hi])
+                out = out.at[lo:hi].add(piece.T @ v[lo:])
+            return out
 
-        x = jnp.zeros_like(yc)
-        r = yc
-        pvec = r
-        rs = r @ r
-
-        def body(i, st):
+        def loop_body(i, st):
             x, r, pvec, rs = st
             Ap = mv(pvec)
             alpha = rs / (pvec @ Ap)
@@ -156,22 +181,28 @@ def bench_northstar(on_tpu: bool) -> None:
             pvec = r + (rs_new / rs) * pvec
             return (x, r, pvec, rs_new)
 
-        x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, pvec, rs))
+        x, r, _, _ = jax.lax.fori_loop(
+            0, iters, loop_body, (jnp.zeros_like(yc), yc, yc, yc @ yc)
+        )
         # GEBV = K alpha; K alpha = (A - lam I) alpha = yc - lam x
         return yc - lam * x + jnp.mean(y), jnp.sqrt(r @ r)
 
     keys = jax.random.split(jax.random.PRNGKey(7), n_shards + 1)
     y = jax.random.normal(keys[-1], (n,), dtype=jnp.float32)
 
-    t0 = time.perf_counter()
-    K = jnp.zeros((n, n), dtype=jnp.float32)
-    for s in range(n_shards):
-        K = accumulate_shard(K, keys[s])
-    K = center_scale_lower(K)
-    gebv, resid = gblup_cg_lower(K, y)
-    res = _sync(resid)
-    _sync(gebv)
-    dt = time.perf_counter() - t0
+    def run():
+        t0 = time.perf_counter()
+        pieces = [jnp.zeros((n - lo, hi - lo), jnp.float32) for lo, hi in bounds]
+        for s in range(n_shards):
+            pieces = accumulate_shard(pieces, keys[s])
+        pieces = center_scale_pieces(pieces)
+        gebv, resid = gblup_cg_pieces(pieces, y, iters=30)
+        res = _sync(resid)
+        _sync(gebv)
+        return time.perf_counter() - t0, res
+
+    run()  # compile warmup (donated buffers are rebuilt fresh each run)
+    dt, res = run()
     snps_per_s = n * p / dt
     emit(
         f"north-star GRM+GBLUP SNPs/s/chip (n={n}, p={p}, streamed int8 shards + CG"
@@ -197,16 +228,20 @@ def bench_sampler(on_tpu: bool) -> None:
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, p)).astype(np.float32)
     y = rng.normal(size=n).astype(np.float32)
-    # warmup/compile on a short chain with identical shapes
-    gibbs_regression(X, y, model="BayesC", n_iter=2, n_burnin=1, seed=1)
-    t0 = time.perf_counter()
-    gibbs_regression(X, y, model="BayesC", n_iter=n_iter, n_burnin=n_burnin, seed=1)
-    dt = time.perf_counter() - t0
-    emit(
-        f"BayesC Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps)",
-        n_iter * p / dt,
-        "updates/s",
-    )
+    for model, label in (
+        ("BayesC", "scalar-scan"),  # indicator prior: exact sequential scan
+        ("BRR", "joint block draw"),  # continuous prior: one Cholesky per block
+    ):
+        # warmup/compile on a short chain with identical shapes
+        gibbs_regression(X, y, model=model, n_iter=2, n_burnin=1, seed=1)
+        t0 = time.perf_counter()
+        gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
+        dt = time.perf_counter() - t0
+        emit(
+            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label})",
+            n_iter * p / dt,
+            "updates/s",
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -237,12 +272,13 @@ def bench_gwas(on_tpu: bool) -> None:
         traits=np.array(["t"]),
         phenotypes=phen,
     )
+    gbm.gwasreml(genomes=genomes, phenomes=phenomes)  # compile warmup
     t0 = time.perf_counter()
     fit = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(fit.b_hat))
     emit(
-        f"GWAS-REML markers/s incl. GRM+eigh (n={n}, p={p}, per-marker 2-VC REML)",
+        f"GWAS-REML markers/s incl. GRM+eigh (n={n}, p={p}, per-marker 2-VC REML, warm)",
         len(fit.b_hat) / dt,
         "markers/s",
     )
@@ -279,6 +315,10 @@ def bench_cv(on_tpu: bool) -> None:
         traits=np.array(["t"]),
         phenotypes=yy[:, None],
     )
+    cvbulk_batched(  # compile warmup (fold-mask shapes match the timed run)
+        genomes, phenomes, models=("ridge", "gblup"),
+        n_replications=n_replications, n_folds=n_folds, store_effects=False,
+    )
     t0 = time.perf_counter()
     cvs, notes = cvbulk_batched(
         genomes, phenomes, models=("ridge", "gblup"),
@@ -288,7 +328,7 @@ def bench_cv(on_tpu: bool) -> None:
     assert len(cvs) >= n_replications * n_folds
     emit(
         f"cvbulk wall-clock (n={n}, p={p}, {n_replications}x{n_folds} folds x "
-        f"2 models = {len(cvs)} fits, batched)",
+        f"2 models = {len(cvs)} fits, batched, warm)",
         dt,
         "s",
     )
