@@ -117,29 +117,45 @@ def _fold_solve_gblup(K, y, w, ratios):
     return preds, gammas, crit
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def _solve_folds_single(K, y, W, grid, kind: str):
+    solver = _fold_solve if kind == "ridge" else _fold_solve_gblup
+    return jax.vmap(lambda w: solver(K, y, w, grid))(W)
+
+
+@partial(jax.jit, static_argnames=("kind", "mesh", "axis"))
+def _solve_folds_meshed(K, y, W, grid, kind: str, mesh: Mesh, axis: str):
+    solver = _fold_solve if kind == "ridge" else _fold_solve_gblup
+
+    def kernel(K, y, Wl, grid):
+        return jax.vmap(lambda w: solver(K, y, w, grid))(Wl)
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis, None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return fn(K, y, W, grid)
+
+
 def _solve_folds(K, y, W, grid, mesh: Optional[Mesh], kind: str):
     """Dispatch the fold batch: vmap on one device, or shard_map over the
-    mesh's 'dp' axis with folds partitioned across devices."""
-    solver = _fold_solve if kind == "ridge" else _fold_solve_gblup
+    mesh's 'dp' axis with folds partitioned across devices.
+
+    Both paths go through module-level jitted entry points so repeat calls
+    hit the compile cache — a fresh `jax.jit(lambda ...)` closure per call
+    recompiled the entire fold sweep every time (the first cvbulk_batched
+    'warm' run at 2048 x 32768 spent ~200 s of its 209 s re-tracing)."""
     F, n = W.shape
     if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
-        fn = jax.jit(jax.vmap(lambda w: solver(K, y, w, grid)))
-        preds, gammas, crit = fn(jnp.asarray(W))
+        preds, gammas, crit = _solve_folds_single(K, y, jnp.asarray(W), grid, kind)
         return np.asarray(preds), np.asarray(gammas), np.asarray(crit)
     axis = list(mesh.shape.keys())[0]
     D = mesh.shape[axis]
     Fp = ((F + D - 1) // D) * D
     if Fp != F:  # pad with all-training dummy folds; results discarded
         W = np.concatenate([W, np.ones((Fp - F, n), dtype=W.dtype)], axis=0)
-
-    def kernel(Wl):
-        return jax.vmap(lambda w: solver(K, y, w, grid))(Wl)
-
-    fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(axis, None),),
-        out_specs=(P(axis), P(axis), P(axis)),
-    )
-    preds, gammas, crit = jax.jit(fn)(jnp.asarray(W))
+    preds, gammas, crit = _solve_folds_meshed(K, y, jnp.asarray(W), grid, kind, mesh, axis)
     return np.asarray(preds[:F]), np.asarray(gammas[:F]), np.asarray(crit[:F])
 
 

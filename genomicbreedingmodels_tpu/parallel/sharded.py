@@ -13,6 +13,7 @@ on a real pod slice and on the 8-device virtual CPU mesh used in tests.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -38,9 +39,18 @@ def sharded_grm(X, mesh: Mesh, ploidy: int = 2) -> jnp.ndarray:
     int32 on the MXU at 2x the bf16 rate, the psum over ICI moves the same
     n x n f32 payload, and the result is rescaled by 1/ploidy².
     """
-    is_dosage = jnp.asarray(X).dtype == jnp.int8
+    # Module-level jitted entry (mesh static, ploidy traced): repeat calls
+    # hit the compile cache — a fresh jax.jit(shard_map(...)) closure per
+    # call would re-trace and recompile the whole program every time.
+    return _sharded_grm_jit(
+        jnp.asarray(X), jnp.float32(ploidy * ploidy), mesh,
+        jnp.asarray(X).dtype == jnp.int8,
+    )
 
-    def kernel(Xl):
+
+@partial(jax.jit, static_argnames=("mesh", "is_dosage"))
+def _sharded_grm_jit(X, ploidy_sq, mesh: Mesh, is_dosage: bool):
+    def kernel(Xl, ploidy_sq):
         # Raw local Gram (operands stay in the input dtype — bf16 panels feed
         # the MXU at full rate; int8 dosage panels at 2x that, exactly),
         # summed over marker shards via psum on ICI, then double-centered
@@ -51,15 +61,15 @@ def sharded_grm(X, mesh: Mesh, ploidy: int = 2) -> jnp.ndarray:
 
         if is_dosage:
             Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.int32)
-            Gl = Gl.astype(jnp.float32) / jnp.float32(ploidy * ploidy)
+            Gl = Gl.astype(jnp.float32) / ploidy_sq
         else:
             Gl = jnp.dot(Xl, Xl.T, preferred_element_type=jnp.float32)
         return center_gram(jax.lax.psum(Gl, axis_name="mp"))
 
     fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(None, "mp"),), out_specs=P()
+        kernel, mesh=mesh, in_specs=(P(None, "mp"), P()), out_specs=P()
     )
-    return jax.jit(fn)(X)
+    return fn(X, ploidy_sq)
 
 
 def sharded_ridge_step(X, y, lam: float, mesh: Mesh) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,7 +80,12 @@ def sharded_ridge_step(X, y, lam: float, mesh: Mesh) -> Tuple[jnp.ndarray, jnp.n
     β_d = Z_dᵀ γ.
     """
 
-    def kernel(Xl, y):
+    return _sharded_ridge_jit(X, jnp.asarray(y, jnp.float32), jnp.float32(lam), mesh)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_ridge_jit(X, y, lam, mesh: Mesh):
+    def kernel(Xl, y, lam):
         n = y.shape[0]
         Zl = _local_centered(Xl.astype(jnp.float32))
         yc = y - jnp.mean(y)
@@ -84,11 +99,10 @@ def sharded_ridge_step(X, y, lam: float, mesh: Mesh) -> Tuple[jnp.ndarray, jnp.n
     fn = shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(None, "mp"), P()),
+        in_specs=(P(None, "mp"), P(), P()),
         out_specs=(P(), P("mp")),
-        
     )
-    return jax.jit(fn)(X, jnp.asarray(y, jnp.float32))
+    return fn(X, y, lam)
 
 
 def gblup_train_step(X, y, lam: float, mesh: Mesh) -> jnp.ndarray:
@@ -98,7 +112,12 @@ def gblup_train_step(X, y, lam: float, mesh: Mesh) -> jnp.ndarray:
     denominator, which cancels in the λ re-parameterization).
     """
 
-    def kernel(Xl, y):
+    return _gblup_train_jit(X, jnp.asarray(y, jnp.float32), jnp.float32(lam), mesh)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _gblup_train_jit(X, y, lam, mesh: Mesh):
+    def kernel(Xl, y, lam):
         n = y.shape[0]
         Zl = _local_centered(Xl.astype(jnp.float32))
         K = jax.lax.psum(jnp.dot(Zl, Zl.T, preferred_element_type=jnp.float32), "mp")
@@ -110,9 +129,9 @@ def gblup_train_step(X, y, lam: float, mesh: Mesh) -> jnp.ndarray:
         return gebv
 
     fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(None, "mp"), P()), out_specs=P()
+        kernel, mesh=mesh, in_specs=(P(None, "mp"), P(), P()), out_specs=P()
     )
-    return jax.jit(fn)(X, jnp.asarray(y, jnp.float32))
+    return fn(X, y, lam)
 
 
 def multitrait_gblup_step(X, Y, lam: float, mesh: Mesh) -> jnp.ndarray:
@@ -125,7 +144,12 @@ def multitrait_gblup_step(X, Y, lam: float, mesh: Mesh) -> jnp.ndarray:
     traits x marker-parallel Gram).
     """
 
-    def kernel(Xl, Yl):
+    return _multitrait_gblup_jit(X, jnp.asarray(Y, jnp.float32), jnp.float32(lam), mesh)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _multitrait_gblup_jit(X, Y, lam, mesh: Mesh):
+    def kernel(Xl, Yl, lam):
         n = Yl.shape[1]
         Zl = _local_centered(Xl.astype(jnp.float32))
         K = jax.lax.psum(jnp.dot(Zl, Zl.T, preferred_element_type=jnp.float32), "mp")
@@ -140,11 +164,10 @@ def multitrait_gblup_step(X, Y, lam: float, mesh: Mesh) -> jnp.ndarray:
     fn = shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(None, "mp"), P("dp", None)),
+        in_specs=(P(None, "mp"), P("dp", None), P()),
         out_specs=P("dp", None),
-        
     )
-    return jax.jit(fn)(X, jnp.asarray(Y, jnp.float32))
+    return fn(X, Y, lam)
 
 
 def sharded_gibbs_regression(
@@ -309,11 +332,17 @@ def sharded_gblup_cg(
     Xp = np.zeros((n, p_pad), dtype=np.float32)
     Xp[:, :p] = X
 
-    def kernel(Xl, y):
+    return _sharded_gblup_cg_jit(
+        jnp.asarray(Xp), jnp.asarray(y), jnp.float32(p), jnp.float32(lam),
+        jnp.float32(tol), jnp.int32(n_iter), mesh, axis,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_gblup_cg_jit(Xp, y, p_total, lam_f, tol, n_iter, mesh: Mesh, axis: str):
+    def kernel(Xl, y, p_total, lam_f, tol, n_iter):
         Zl = _local_centered(Xl.astype(jnp.float32))
-        p_total = jnp.float32(p)
         yc = y - jnp.mean(y)
-        lam_f = jnp.float32(lam)
 
         def matvec(v):
             u = jnp.dot(Zl.T, v, preferred_element_type=jnp.float32)
@@ -343,6 +372,8 @@ def sharded_gblup_cg(
         return alpha, gebv
 
     fn = shard_map(
-        kernel, mesh=mesh, in_specs=(P(None, axis), P()), out_specs=(P(), P())
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
     )
-    return jax.jit(fn)(jnp.asarray(Xp), jnp.asarray(y))
+    return fn(Xp, y, p_total, lam_f, tol, n_iter)
