@@ -253,57 +253,76 @@ def sharded_gibbs_regression(
         P(axis), P(), P(axis), P(), P(), P(), P(), P(), P(axis), P(), P(), P(), P(),
     )
 
-    def kernel(Xl, y, validl, key, hyper, state, iters):
-        mu_hat, b_hat, _, state = _gibbs_chain(
-            Xl, y, validl, key, hyper,
-            model_id=_MODEL_IDS[model],
-            n_iter=int(n_iter),
-            n_burnin=int(n_burnin),
-            block_size=bs,
-            n_blocks=per_dev // bs,
-            axis_name=axis,
-            seq_rounds=seq_rounds,
-            iters=iters,
-            state_in=state,
-            return_state=True,
-        )
-        return mu_hat, b_hat, state
-
-    def kernel_first(Xl, y, validl, key, hyper, iters):
-        mu_hat, b_hat, _, state = _gibbs_chain(
-            Xl, y, validl, key, hyper,
-            model_id=_MODEL_IDS[model],
-            n_iter=int(n_iter),
-            n_burnin=int(n_burnin),
-            block_size=bs,
-            n_blocks=per_dev // bs,
-            axis_name=axis,
-            seq_rounds=seq_rounds,
-            iters=iters,
-            return_state=True,
-        )
-        return mu_hat, b_hat, state
-
-    base_in = (P(None, axis), P(), P(axis), P(), {k: P() for k in hyper})
-    fn_first = jax.jit(shard_map(
-        kernel_first, mesh=mesh, in_specs=base_in + (P(),),
-        out_specs=(P(), P(axis), state_specs),
-    ))
-    fn_next = jax.jit(shard_map(
-        kernel, mesh=mesh, in_specs=base_in + (state_specs, P()),
-        out_specs=(P(), P(axis), state_specs),
-    ))
+    statics = dict(
+        mesh=mesh, axis=axis, model_id=_MODEL_IDS[model], n_iter=int(n_iter),
+        n_burnin=int(n_burnin), bs=bs, n_blocks=per_dev // bs,
+        seq_rounds=seq_rounds, state_specs=state_specs,
+    )
     Xj, yj, vj = jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid)
     seg0 = int(min(chunk_size or n_iter, n_iter))
-    mu_hat, b_hat, state = fn_first(Xj, yj, vj, key, hyper, jnp.arange(seg0))
+    mu_hat, b_hat, state = _sharded_gibbs_first(
+        Xj, yj, vj, key, hyper, jnp.arange(seg0), **statics
+    )
     done = seg0
     while done < n_iter:
         seg = int(min(chunk_size, n_iter - done))
-        mu_hat, b_hat, state = fn_next(
-            Xj, yj, vj, key, hyper, state, jnp.arange(done, done + seg)
+        mu_hat, b_hat, state = _sharded_gibbs_next(
+            Xj, yj, vj, key, hyper, state, jnp.arange(done, done + seg), **statics
         )
         done += seg
     return float(mu_hat), np.asarray(b_hat, dtype=np.float64)[:p]
+
+
+_GIBBS_STATICS = (
+    "mesh", "axis", "model_id", "n_iter", "n_burnin", "bs", "n_blocks",
+    "seq_rounds", "state_specs",
+)
+
+
+@partial(jax.jit, static_argnames=_GIBBS_STATICS)
+def _sharded_gibbs_first(X, y, valid, key, hyper, iters, *, mesh, axis, model_id,
+                         n_iter, n_burnin, bs, n_blocks, seq_rounds, state_specs):
+    from ..models.bayesian import _gibbs_chain
+
+    def kernel(Xl, y, validl, key, hyper, iters):
+        mu_hat, b_hat, _, state = _gibbs_chain(
+            Xl, y, validl, key, hyper, model_id=model_id, n_iter=n_iter,
+            n_burnin=n_burnin, block_size=bs, n_blocks=n_blocks,
+            axis_name=axis, seq_rounds=seq_rounds, iters=iters,
+            return_state=True,
+        )
+        return mu_hat, b_hat, state
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(axis), P(), {k: P() for k in hyper}, P()),
+        out_specs=(P(), P(axis), state_specs),
+    )
+    return fn(X, y, valid, key, hyper, iters)
+
+
+@partial(jax.jit, static_argnames=_GIBBS_STATICS)
+def _sharded_gibbs_next(X, y, valid, key, hyper, state, iters, *, mesh, axis,
+                        model_id, n_iter, n_burnin, bs, n_blocks, seq_rounds,
+                        state_specs):
+    from ..models.bayesian import _gibbs_chain
+
+    def kernel(Xl, y, validl, key, hyper, state, iters):
+        mu_hat, b_hat, _, state = _gibbs_chain(
+            Xl, y, validl, key, hyper, model_id=model_id, n_iter=n_iter,
+            n_burnin=n_burnin, block_size=bs, n_blocks=n_blocks,
+            axis_name=axis, seq_rounds=seq_rounds, iters=iters,
+            state_in=state, return_state=True,
+        )
+        return mu_hat, b_hat, state
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(axis), P(), {k: P() for k in hyper},
+                  state_specs, P()),
+        out_specs=(P(), P(axis), state_specs),
+    )
+    return fn(X, y, valid, key, hyper, state, iters)
 
 
 def sharded_gblup_cg(
