@@ -23,9 +23,12 @@ class GBMConfig:
     path_cv_folds: int = 10
     # CV harness
     cv_workers: int = 1
-    # REML
-    reml_grid: int = 16
-    reml_newton: int = 10
+    # REML: 8x8 log-lattice seed + 12 projected-Newton steps. Validated
+    # against the f64 dense-pinv oracle (cor >= 0.999,
+    # tests/test_parity_oracles.py) and 1.4x faster than the original 16x16
+    # grid (1403 -> 1972 markers/s at 2048 x 32768 on TPU v5e).
+    reml_grid: int = 8
+    reml_newton: int = 12
 
     @classmethod
     def from_env(cls) -> "GBMConfig":
