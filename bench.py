@@ -445,8 +445,13 @@ def main() -> None:
     # device) in one section must not poison the others' HBM — observed: a
     # single RESOURCE_EXHAUSTED left the device allocator unusable for every
     # subsequent call in the same process, down to a scalar PRNGKey.
+    #
+    # The HEADLINE runs FIRST (so it survives any outer wall-clock kill of
+    # the full ~30 min suite) and its line is RE-EMITTED after every section
+    # so the LAST printed JSON line is always the headline metric.
     names = ["headline"] if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1" else list(SECTIONS)
-    names = [n for n in names if n != "headline"] + ["headline"]  # headline last
+    names = ["headline"] + [n for n in names if n != "headline"]
+    headline_line = None
     for name in names:
         try:
             r = subprocess.run(
@@ -459,10 +464,14 @@ def main() -> None:
             out = (r.stdout or "").strip()
             if out:
                 print(out, flush=True)
+            if name == "headline" and out:
+                headline_line = out.splitlines()[-1]
             if r.returncode != 0:
                 print(f"# bench section {name} failed: exit {r.returncode}", flush=True)
         except subprocess.TimeoutExpired:
             print(f"# bench section {name} timed out", flush=True)
+        if name != "headline" and headline_line:
+            print(headline_line, flush=True)
 
 
 if __name__ == "__main__":
