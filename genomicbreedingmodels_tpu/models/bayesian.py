@@ -20,13 +20,26 @@ matmul). Two block-update strategies, chosen per model:
   with better mixing than scalar updates, and all MXU work. Measured on TPU
   v5e at n=1024, p=16k, bs=512: 456-838k marker-updates/s vs 124-147k for
   the scalar scan.
-- **Sequential scalar scan** (BayesB / BayesC / BLπ / BayesTπ — discrete
-  inclusion indicators; and BL, whose σ²ₑ-proportional shrinkage feedback
-  diverges under the joint draw's larger null-space moves when p > n): the
-  within-block pass tracks already-updated markers through C_b rows
-  (length-`block_size` VPU axpys — rows, not columns: sublane-direction
-  slices are fast on TPU) instead of touching the length-n residual; the
-  scan is unrolled 8x (loop overhead dominated the tiny step body).
+- **Grouped pattern draw** (BayesB / BayesC — the BGLR flagship indicator
+  models): markers advance K at a time (default K=8). Per group the 2^K
+  inclusion patterns are scored with the COLLAPSED (effect-integrated)
+  marginal likelihood — a vmapped batch of 2^K K×K Cholesky factorizations —
+  the pattern is sampled exactly by Gumbel-max, and the included effects are
+  then drawn jointly from the K-dim Gaussian conditional. This is exact
+  partially-collapsed blocked Gibbs: (γ_g, b_g) is sampled from its exact
+  full conditional given everything outside the group, so the stationary
+  distribution is identical to the scalar scan's (and mixing is better,
+  since correlated indicators move jointly). Sequential dependency drops
+  from p scan steps per sweep to p/K, which is what the scalar path was
+  bound by (per-step dispatch, not FLOPs).
+- **Sequential scalar scan** (BLπ / BayesTπ — kept for the rarer indicator
+  variants; and BL, whose σ²ₑ-proportional shrinkage feedback diverges
+  under larger joint moves when p > n; also available for BayesB/C via
+  `indicator_update="scalar"` as the equivalence oracle): the within-block
+  pass tracks already-updated markers through C_b rows (length-`block_size`
+  VPU axpys — rows, not columns: sublane-direction slices are fast on TPU)
+  instead of touching the length-n residual; the scan is unrolled 8x (loop
+  overhead dominated the tiny step body).
 
 Either way the residual is corrected once per block with a single GEMV and
 the chain has exactly the correct stationary distribution (the scalar path
@@ -77,7 +90,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -98,6 +111,7 @@ def _gibbs_chain(
     state_in=None,
     return_state: bool = False,
     pinned: bool = False,
+    group_size: int = 0,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -161,6 +175,9 @@ def _gibbs_chain(
     # unscaled t prior — the per-marker scaled-inv-χ² machinery of BayesA but
     # with the hyper-scale S pinned instead of Gamma-updated.
     fixed_scale = model_id in (_MODEL_IDS["BayesT"], _MODEL_IDS["BayesTPi"])
+    # Grouped pattern draw is gated to BayesB/C (the BGLR flagship indicator
+    # models); BLπ/BayesTπ keep the scalar scan (see module docstring).
+    grouped = group_size > 1 and model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
 
     def block_step(carry, gb):
         b, r, s2, sig_e2, pi_in, incl_acc, key = carry
@@ -184,7 +201,8 @@ def _gibbs_chain(
         # arithmetic (one draw per marker, consumed in order).
         k1, k2 = jax.random.split(k_blk)
         normals = jax.random.normal(k1, (bs,))
-        uniforms = jax.random.uniform(k2, (bs,))
+        if not grouped:
+            uniforms = jax.random.uniform(k2, (bs,))
 
         def marker_step(carry, j):
             """One marker's exact sequential-Gibbs update within the block.
@@ -221,7 +239,130 @@ def _gibbs_chain(
             b_blk = b_blk.at[j].set(b_new)
             return (cdelta, delta, b_blk), incl
 
-        if has_indicator or is_bl:
+        if grouped:
+            # Exact partially-collapsed draw of (γ_g, b_g), K markers at a
+            # time: score all 2^K inclusion patterns with the COLLAPSED
+            # (effect-integrated) marginal likelihood, Gumbel-max sample the
+            # pattern, then draw the included effects jointly from the K-dim
+            # Gaussian conditional. Same stationary distribution as the
+            # scalar scan (it samples the pair from its exact full
+            # conditional given everything outside the group) with 1/K the
+            # sequential scan steps — which is what the scalar path was
+            # bound by (per-step dispatch, not FLOPs). Equivalence is tested
+            # against the scalar oracle in tests/test_bayesian.py.
+            K_g = group_size
+            n_groups = bs // K_g
+            n_pat = 1 << K_g
+            # All 2^K inclusion patterns; bit j of pattern m is γ_mj.
+            patterns = jnp.asarray(
+                ((np.arange(n_pat)[:, None] >> np.arange(K_g)[None, :]) & 1).astype(np.float32)
+            )
+            gum = -jnp.log(-jnp.log(jax.random.uniform(
+                k2, (n_groups, n_pat), minval=1e-12, maxval=1.0 - 1e-7
+            )))
+            log_pi = jnp.log(pi_in)
+            log_1mpi = jnp.log1p(-pi_in)
+
+            def group_step(carry, g):
+                """One K-marker group. With v = X_gᵀ(residual with the whole
+                group removed)/σ²ₑ and P(γ) = (C_gg ⊙ γγᵀ)/σ²ₑ +
+                diag(γ/s² + (1−γ)), the pattern weight is
+                  Σγ·logπ + Σ(1−γ)·log(1−π) − ½Σ_γ log s² − ½log|P| + ½vᵀP⁻¹v
+                (the Gaussian (2π)^{k/2} normalizers cancel between prior and
+                posterior exactly). Excluded coords ride along as identity
+                rows: they add 0 to both the determinant and the quadratic
+                form, and Cholesky has no fill-in across the decoupled index
+                sets, so the masked K-dim draw equals the included-submatrix
+                draw exactly.
+                """
+                cdelta, delta, b_blk = carry
+                r0 = g * K_g
+                Cb_rows = jax.lax.dynamic_slice(Cb, (r0, 0), (K_g, bs))
+                C_gg = jax.lax.dynamic_slice(Cb_rows, (0, r0), (K_g, K_g))
+                u_cur = (
+                    jax.lax.dynamic_slice(u, (r0,), (K_g,))
+                    - jax.lax.dynamic_slice(cdelta, (r0,), (K_g,))
+                )
+                b_cur = jax.lax.dynamic_slice(b_blk, (r0,), (K_g,))
+                s2_g = jax.lax.dynamic_slice(s2_blk, (r0,), (K_g,))
+                val_g = jax.lax.dynamic_slice(val_blk, (r0,), (K_g,))
+                v = (u_cur + C_gg @ b_cur) / sig_e2
+
+                # Batched over all 2^K patterns at once. The K×K Cholesky,
+                # forward solve, and back solve are HAND-UNROLLED (static K)
+                # into pure elementwise tensor ops on (2^K, K[, K]) shapes:
+                # XLA's generic batched cholesky/triangular_solve lowers to
+                # per-column loops whose dispatch overhead dominated at this
+                # size (measured 3x SLOWER than the scalar scan on TPU v5e);
+                # the unrolled dataflow fuses into a handful of VPU kernels.
+                M = patterns * val_g[None, :]  # (n_pat, K)
+                vm = jnp.where(M > 0, v[None, :], 0.0)  # (n_pat, K)
+                # BORDERED matrix [[P, v], [vᵀ, 0]]: running the K Cholesky
+                # elimination steps over the first K columns makes the border
+                # row accumulate the forward solve w = L⁻¹v for free (its
+                # entry in column j is exactly w_j) and the corner accumulate
+                # −‖w‖² — no separate triangular solve or reduction needed.
+                Pm = (C_gg / sig_e2)[None] * (M[:, :, None] * M[:, None, :]) + (
+                    jnp.eye(K_g)[None]
+                    * jnp.where(M > 0, 1.0 / s2_g[None, :], 1.0)[:, :, None]
+                )
+                acc = jnp.concatenate(
+                    [
+                        jnp.concatenate([Pm, vm[:, None, :]], axis=1),
+                        jnp.concatenate(
+                            [vm[:, :, None], jnp.zeros((n_pat, 1, 1))], axis=1
+                        ),
+                    ],
+                    axis=2,
+                )  # (n_pat, K+1, K+1)
+                cols = []
+                half_logdet = jnp.zeros((n_pat,))
+                row_mask = jnp.tril(jnp.ones((K_g + 1, K_g), jnp.float32))
+                for j in range(K_g):
+                    dj = jnp.maximum(acc[:, j, j], 1e-30)
+                    half_logdet = half_logdet + 0.5 * jnp.log(dj)
+                    col = acc[:, :, j] * jax.lax.rsqrt(dj)[:, None]
+                    col = col * row_mask[:, j][None, :]  # rows < j are 0
+                    acc = acc - col[:, :, None] * col[:, None, :]
+                    cols.append(col)
+                Lb = jnp.stack(cols, axis=2)  # (n_pat, K+1, K) bordered lower
+                quad = -acc[:, K_g, K_g]  # = ‖L⁻¹v_m‖² = v_mᵀP⁻¹v_m
+                logws = (
+                    jnp.sum(M, axis=1) * log_pi
+                    + jnp.sum(val_g[None, :] * (1.0 - patterns), axis=1) * log_1mpi
+                    - 0.5 * jnp.sum(jnp.where(M > 0, jnp.log(s2_g)[None, :], 0.0), axis=1)
+                    - half_logdet  # = −½ log|P|
+                    + 0.5 * quad
+                    - 1e30 * jnp.sum(patterns * (1.0 - val_g)[None, :], axis=1)
+                )
+                m_star = jnp.argmax(logws + gum[g])
+                gam = patterns[m_star] * val_g
+                Lsel = Lb[m_star]  # (K+1, K); row K is w = L⁻¹v_m
+                w = Lsel[K_g, :]
+                eta = jax.lax.dynamic_slice(normals, (r0,), (K_g,))
+                # mean = P⁻¹v_m = L⁻ᵀw; mean + L⁻ᵀη in ONE back substitution,
+                # K unrolled steps.
+                rhs = w + eta
+                b_acc = jnp.zeros((K_g,))
+                for j in range(K_g - 1, -1, -1):
+                    bj = (rhs[j] - jnp.dot(Lsel[:K_g, j], b_acc)) / Lsel[j, j]
+                    b_acc = b_acc.at[j].set(bj)
+                b_new = jnp.where(gam > 0, b_acc, 0.0)
+                d = b_new - b_cur
+                cdelta = cdelta + jnp.dot(d, Cb_rows, preferred_element_type=jnp.float32)
+                delta = jax.lax.dynamic_update_slice(delta, d, (r0,))
+                b_blk = jax.lax.dynamic_update_slice(b_blk, b_new, (r0,))
+                return (cdelta, delta, b_blk), gam > 0
+
+            init = (_vary(jnp.zeros(bs)), _vary(jnp.zeros(bs)), b_blk)
+            # unroll: the group body is elementwise dataflow; unrolling lets
+            # XLA overlap the next group's pattern build with this group's
+            # tail (they only couple through the small cdelta/b_blk carry).
+            (cdelta, delta, b_blk_new), incl_g = jax.lax.scan(
+                group_step, init, jnp.arange(n_groups), unroll=4
+            )
+            incl = incl_g.reshape(bs)
+        elif has_indicator or is_bl:
             # Indicator models need the per-marker discrete draws; BL keeps
             # the scalar scan too — its σ²ₑ-proportional shrinkage feedback
             # turns the joint draw's larger null-space moves into a positive
@@ -474,8 +615,14 @@ def gibbs_regression(
     checkpoint_path: str = None,
     fix_sigma_e2: Optional[float] = None,
     fix_sigma_b2: Optional[float] = None,
+    indicator_update: str = None,
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
+
+    `indicator_update` ("grouped" default via GBMConfig, or "scalar") selects
+    the BayesB/C within-block kernel: the grouped 2^K-pattern collapsed draw
+    (~K× fewer sequential steps, exact) or the one-marker-at-a-time scan
+    (the equivalence oracle). Both target the identical posterior.
 
     `fix_sigma_e2`/`fix_sigma_b2` (both required together) pin the residual
     and marker variances, making the marker-effect posterior exactly Gaussian
@@ -506,6 +653,14 @@ def gibbs_regression(
     n_iter = cfg.mcmc_n_iter if n_iter is None else n_iter
     n_burnin = cfg.mcmc_n_burnin if n_burnin is None else n_burnin
     block_size = cfg.mcmc_block_size if block_size is None else block_size
+    indicator_update = cfg.mcmc_indicator_update if indicator_update is None else indicator_update
+    if indicator_update not in ("grouped", "scalar"):
+        raise ValueError(f"unknown indicator_update {indicator_update!r}")
+    group_size = (
+        int(cfg.mcmc_group_size)
+        if indicator_update == "grouped" and model in ("BayesB", "BayesC")
+        else 0
+    )
     X = np.asarray(X, dtype=np.float32)
     response_id, n_cats = 0, 0
     if response_type == "ordinal":
@@ -517,6 +672,9 @@ def gibbs_regression(
     y = np.asarray(y, dtype=np.float32)
     n, p = X.shape
     bs = int(min(block_size, max(8, p)))
+    if group_size > 1:
+        group_size = min(group_size, bs)
+        bs = ((bs + group_size - 1) // group_size) * group_size  # bs | K groups
     p_pad = ((p + bs - 1) // bs) * bs
     Xp = np.zeros((n, p_pad), dtype=np.float32)
     Xp[:, :p] = X
@@ -556,11 +714,12 @@ def gibbs_regression(
         hyper["fix_b"] = jnp.float32(fix_sigma_b2)
     if chunk_size is None and n_chains == 1:
         # Bound the sequential scan work per device call: the within-block
-        # marker scan executes p_pad steps per sweep, and very long single
-        # executions get killed by the axon tunnel watchdog (observed at
-        # ~3e7 marker-steps). Stay well under that.
-        if float(n_iter) * p_pad > 4e6:
-            chunk_size = max(25, int(4e6 / p_pad))
+        # scan executes p_pad (scalar) or p_pad/K (grouped) steps per sweep,
+        # and very long single executions get killed by the axon tunnel
+        # watchdog (observed at ~3e7 marker-steps). Stay well under that.
+        seq_steps = p_pad // max(group_size, 1)
+        if float(n_iter) * seq_steps > 4e6:
+            chunk_size = max(25, int(4e6 / seq_steps))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
     run = partial(
         _gibbs_chain,
@@ -576,6 +735,7 @@ def gibbs_regression(
         response_id=response_id,
         n_cats=n_cats,
         pinned=pinned,
+        group_size=group_size,
     )
     if n_chains == 1:
         if chunk_size is not None and chunk_size < n_iter:

@@ -290,18 +290,27 @@ def gwasols(
     idx_loci_alleles: Optional[Sequence[int]] = None,
     idx_trait: int = 0,
     GRM_type: str = "simple",
+    mesh=None,
     verbose: bool = False,
 ) -> Fit:
     """GWAS via OLS with PC1 population-structure correction (reference :206-259).
 
     b_hat holds the per-marker t-statistic b / sqrt((XᵀX)⁻¹[2,2]) exactly as
-    the reference computes it (src/gwas.jl:241-245).
+    the reference computes it (src/gwas.jl:241-245). Pass `mesh` to shard the
+    marker scan across devices.
     """
     G, y, K, fit = _prep_device(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
         idx_trait=idx_trait, GRM_type=GRM_type,
     )
     fit.model = "GWAS_OLS"
+    if mesh is not None:
+        from ..parallel.sharded import sharded_gwasols
+
+        fit.b_hat = sharded_gwasols(np.asarray(G), np.asarray(y), np.asarray(K), mesh)
+        if not fit.checkdims():
+            raise RuntimeError("error performing GWAS via OLS")
+        return fit
     pc1 = _grm_pc1_device(K)
     t = _gwasols_scan(G, y, pc1)
     fit.b_hat = np.asarray(t, dtype=np.float64)
@@ -432,12 +441,16 @@ def gwasreml(
     idx_trait: int = 0,
     GRM_type: str = "simple",
     marker_block: int = 1024,
+    mesh=None,
     verbose: bool = False,
 ) -> Fit:
     """Per-marker 2-VC REML GWAS (reference src/gwas.jl:549-613), rotated.
 
     b_hat holds the z-statistic b / sqrt(Var(b)) of the marker effect from the
-    GLS fit at the per-marker REML optimum.
+    GLS fit at the per-marker REML optimum. Pass `mesh` (a jax Mesh with an
+    'mp' axis) to shard the marker scan across devices — one replicated eigh,
+    then each device scans its own marker shard (parallel/sharded.py:
+    sharded_gwasreml).
     """
     from ..utils.config import get_config
     from ..utils.logging import StageTimer, get_logger
@@ -451,6 +464,18 @@ def gwasreml(
         )
     fit.model = "GWAS_REML"
     n, l = G.shape
+    if mesh is not None:
+        from ..parallel.sharded import sharded_gwasreml
+
+        with timer.stage("sharded_scan"):
+            fit.b_hat = sharded_gwasreml(
+                np.asarray(G), np.asarray(y), np.asarray(K), mesh,
+                n_grid=cfg.reml_grid, n_newton=cfg.reml_newton,
+            )
+        fit.extras = {"timings": timer.summary()}
+        if not fit.checkdims():
+            raise RuntimeError("error performing GWAS via REML")
+        return fit
     with timer.stage("eigh+rotate"):
         s_j, U = _eigh_device(K)
         yt = U.T @ y
@@ -481,17 +506,26 @@ def gwaslmm(
     idx_loci_alleles: Optional[Sequence[int]] = None,
     idx_trait: int = 0,
     GRM_type: str = "simple",
+    mesh=None,
     verbose: bool = False,
 ) -> Fit:
     """Kinship-LMM GWAS (EMMAX-style): null-model REML once, then per-marker
     GLS z-stats in the rotated basis (see module docstring for the documented
-    divergence from reference src/gwas.jl:329-399).
+    divergence from reference src/gwas.jl:329-399). Pass `mesh` to shard the
+    marker scan across devices.
     """
     G, y, K, fit = _prep_device(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
         idx_trait=idx_trait, GRM_type=GRM_type,
     )
     fit.model = "GWAS_LMM"
+    if mesh is not None:
+        from ..parallel.sharded import sharded_gwaslmm
+
+        fit.b_hat = sharded_gwaslmm(np.asarray(G), np.asarray(y), np.asarray(K), mesh)
+        if not fit.checkdims():
+            raise RuntimeError("error performing GWAS via LMM")
+        return fit
     n, l = G.shape
     pc1 = _grm_pc1_device(K)
     s_j, U = _eigh_device(K)
@@ -499,6 +533,11 @@ def gwaslmm(
     F = jnp.stack([jnp.ones(n, jnp.float32), pc1], axis=1)
     Ft = U.T @ F
     # Null-model variance components (single 2-parameter REML solve).
+    # Deliberately pins the 16x16 fallback grid instead of GBMConfig's
+    # reml_grid/reml_newton: this is ONE design (not p of them), so the cost
+    # of the denser seed is negligible while every downstream marker z-stat
+    # conditions on this θ̂ — accuracy dominates. gwasreml, by contrast,
+    # flows from GBMConfig because its grid cost multiplies by p.
     z_null, theta = _reml_scan(yt, Ft[None, :, :], s_j)
     theta0 = np.asarray(theta[0], dtype=np.float64)
     inv_d = 1.0 / (jnp.float32(theta0[1]) * s_j + jnp.float32(theta0[0]))

@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression", "sharded_gblup_cg"]
+__all__ = ["sharded_grm", "sharded_ridge_step", "gblup_train_step", "multitrait_gblup_step", "sharded_gibbs_regression", "sharded_gblup_cg", "sharded_gwasreml", "sharded_gwasols", "sharded_gwaslmm"]
 
 
 def _local_centered(Xl: jnp.ndarray) -> jnp.ndarray:
@@ -183,6 +183,7 @@ def sharded_gibbs_regression(
     r2: float = 0.5,
     device_schedule: str = "auto",
     chunk_size: int = None,
+    indicator_update: str = None,
 ) -> Tuple[float, np.ndarray]:
     """Marker-sharded Bayesian-alphabet Gibbs across the mesh `axis`.
 
@@ -209,11 +210,25 @@ def sharded_gibbs_regression(
 
     if model not in _MODEL_IDS:
         raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    indicator_update = (
+        cfg.mcmc_indicator_update if indicator_update is None else indicator_update
+    )
+    group_size = (
+        int(cfg.mcmc_group_size)
+        if indicator_update == "grouped" and model in ("BayesB", "BayesC")
+        else 0
+    )
     X = np.asarray(X, dtype=np.float32)
     y = np.asarray(y, dtype=np.float32)
     n, p = X.shape
     D = mesh.shape[axis]
     bs = int(min(block_size, max(8, p // max(D, 1))))
+    if group_size > 1:
+        group_size = min(group_size, bs)
+        bs = ((bs + group_size - 1) // group_size) * group_size
     # Pad p so every device gets the same whole number of blocks.
     per_dev = ((p + D * bs - 1) // (D * bs)) * bs
     p_pad = per_dev * D
@@ -256,7 +271,7 @@ def sharded_gibbs_regression(
     statics = dict(
         mesh=mesh, axis=axis, model_id=_MODEL_IDS[model], n_iter=int(n_iter),
         n_burnin=int(n_burnin), bs=bs, n_blocks=per_dev // bs,
-        seq_rounds=seq_rounds, state_specs=state_specs,
+        seq_rounds=seq_rounds, state_specs=state_specs, group_size=group_size,
     )
     Xj, yj, vj = jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid)
     seg0 = int(min(chunk_size or n_iter, n_iter))
@@ -275,13 +290,14 @@ def sharded_gibbs_regression(
 
 _GIBBS_STATICS = (
     "mesh", "axis", "model_id", "n_iter", "n_burnin", "bs", "n_blocks",
-    "seq_rounds", "state_specs",
+    "seq_rounds", "state_specs", "group_size",
 )
 
 
 @partial(jax.jit, static_argnames=_GIBBS_STATICS)
 def _sharded_gibbs_first(X, y, valid, key, hyper, iters, *, mesh, axis, model_id,
-                         n_iter, n_burnin, bs, n_blocks, seq_rounds, state_specs):
+                         n_iter, n_burnin, bs, n_blocks, seq_rounds, state_specs,
+                         group_size):
     from ..models.bayesian import _gibbs_chain
 
     def kernel(Xl, y, validl, key, hyper, iters):
@@ -289,7 +305,7 @@ def _sharded_gibbs_first(X, y, valid, key, hyper, iters, *, mesh, axis, model_id
             Xl, y, validl, key, hyper, model_id=model_id, n_iter=n_iter,
             n_burnin=n_burnin, block_size=bs, n_blocks=n_blocks,
             axis_name=axis, seq_rounds=seq_rounds, iters=iters,
-            return_state=True,
+            return_state=True, group_size=group_size,
         )
         return mu_hat, b_hat, state
 
@@ -304,7 +320,7 @@ def _sharded_gibbs_first(X, y, valid, key, hyper, iters, *, mesh, axis, model_id
 @partial(jax.jit, static_argnames=_GIBBS_STATICS)
 def _sharded_gibbs_next(X, y, valid, key, hyper, state, iters, *, mesh, axis,
                         model_id, n_iter, n_burnin, bs, n_blocks, seq_rounds,
-                        state_specs):
+                        state_specs, group_size):
     from ..models.bayesian import _gibbs_chain
 
     def kernel(Xl, y, validl, key, hyper, state, iters):
@@ -312,7 +328,7 @@ def _sharded_gibbs_next(X, y, valid, key, hyper, state, iters, *, mesh, axis,
             Xl, y, validl, key, hyper, model_id=model_id, n_iter=n_iter,
             n_burnin=n_burnin, block_size=bs, n_blocks=n_blocks,
             axis_name=axis, seq_rounds=seq_rounds, iters=iters,
-            state_in=state, return_state=True,
+            state_in=state, return_state=True, group_size=group_size,
         )
         return mu_hat, b_hat, state
 
@@ -396,3 +412,144 @@ def _sharded_gblup_cg_jit(Xp, y, p_total, lam_f, tol, n_iter, mesh: Mesh, axis: 
         out_specs=(P(), P()),
     )
     return fn(Xp, y, p_total, lam_f, tol, n_iter)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded GWAS scans (BASELINE config 4; reference hot loop
+# src/gwas.jl:584 threads over markers — here the marker axis shards over
+# 'mp' and each device scans its own block after ONE replicated eigh).
+# ---------------------------------------------------------------------------
+
+
+def _pad_markers(G: np.ndarray, D: int) -> Tuple[np.ndarray, int]:
+    n, p = G.shape
+    p_pad = ((p + D - 1) // D) * D
+    if p_pad == p:
+        return np.asarray(G, dtype=np.float32), p
+    Gp = np.zeros((n, p_pad), dtype=np.float32)
+    Gp[:, :p] = G
+    return Gp, p
+
+
+def sharded_gwasreml(
+    G,
+    y,
+    K,
+    mesh: Mesh,
+    axis: str = "mp",
+    n_grid: int = None,
+    n_newton: int = None,
+) -> np.ndarray:
+    """Marker-sharded per-marker 2-VC REML scan (models/gwas.py:_reml_scan).
+
+    The GRM eigendecomposition runs ONCE replicated; the rotation Gt = Uᵀ G
+    is a local GEMM per device on its marker shard; the vmapped grid+Newton
+    scan is embarrassingly marker-parallel, so D devices scan D× the
+    markers/s with zero collectives after the eigh. Inputs are the
+    standardized prep outputs (G, y, K) of `gwasprep`/`_prep_device`;
+    returns the z-statistics (p,). Exactly matches the single-device
+    `gwasreml` scan (tests/test_parallel.py)."""
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    n_grid = cfg.reml_grid if n_grid is None else n_grid
+    n_newton = cfg.reml_newton if n_newton is None else n_newton
+    D = mesh.shape[axis]
+    Gp, p = _pad_markers(np.asarray(G, np.float32), D)
+    z = _sharded_gwasreml_jit(
+        jnp.asarray(Gp), jnp.asarray(y, jnp.float32), jnp.asarray(K, jnp.float32),
+        mesh, axis, int(n_grid), int(n_newton),
+    )
+    return np.asarray(z, dtype=np.float64)[:p]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "n_grid", "n_newton"))
+def _sharded_gwasreml_jit(Gp, y, K, mesh: Mesh, axis: str, n_grid: int, n_newton: int):
+    from ..models.gwas import _eigh_device, _reml_scan
+
+    s, U = _eigh_device(K)  # replicated: one eigh, all devices share it
+    yt = U.T @ y
+    ones_t = U.T @ jnp.ones(y.shape[0], jnp.float32)
+
+    def kernel(Gl, U, yt, ones_t, s):
+        Gtl = jnp.dot(U.T, Gl, preferred_element_type=jnp.float32)  # local GEMM
+        Xt_all = jnp.stack(
+            [jnp.broadcast_to(ones_t[:, None], Gtl.shape), Gtl], axis=-1
+        ).transpose(1, 0, 2)  # (p_local, n, 2)
+        z, _ = _reml_scan(yt, Xt_all, s, n_grid=n_grid, n_newton=n_newton)
+        return z
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    return fn(Gp, U, yt, ones_t, s)
+
+
+def sharded_gwasols(G, y, K, mesh: Mesh, axis: str = "mp") -> np.ndarray:
+    """Marker-sharded GWAS-OLS t-scan (models/gwas.py:_gwasols_scan): the PC1
+    covariate is computed replicated (50 power-iteration matvecs), then each
+    device runs the closed-form Schur-complement scan on its marker shard."""
+    D = mesh.shape[axis]
+    Gp, p = _pad_markers(np.asarray(G, np.float32), D)
+    t = _sharded_gwasols_jit(
+        jnp.asarray(Gp), jnp.asarray(y, jnp.float32), jnp.asarray(K, jnp.float32),
+        mesh, axis,
+    )
+    return np.asarray(t, dtype=np.float64)[:p]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_gwasols_jit(Gp, y, K, mesh: Mesh, axis: str):
+    from ..models.gwas import _grm_pc1_device, _gwasols_scan
+
+    pc1 = _grm_pc1_device(K)
+
+    def kernel(Gl, y, pc1):
+        return _gwasols_scan(Gl, y, pc1)
+
+    fn = shard_map(
+        kernel, mesh=mesh, in_specs=(P(None, axis), P(), P()), out_specs=P(axis)
+    )
+    return fn(Gp, y, pc1)
+
+
+def sharded_gwaslmm(G, y, K, mesh: Mesh, axis: str = "mp") -> np.ndarray:
+    """Marker-sharded EMMAX scan (models/gwas.py:gwaslmm): null-model REML
+    (one replicated 2-VC solve) then the per-marker GLS z-scan sharded over
+    the marker axis."""
+    D = mesh.shape[axis]
+    Gp, p = _pad_markers(np.asarray(G, np.float32), D)
+    z = _sharded_gwaslmm_jit(
+        jnp.asarray(Gp), jnp.asarray(y, jnp.float32), jnp.asarray(K, jnp.float32),
+        mesh, axis,
+    )
+    return np.asarray(z, dtype=np.float64)[:p]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_gwaslmm_jit(Gp, y, K, mesh: Mesh, axis: str):
+    from ..models.gwas import _eigh_device, _gls_scan, _grm_pc1_device, _reml_scan
+
+    n = y.shape[0]
+    pc1 = _grm_pc1_device(K)
+    s, U = _eigh_device(K)
+    yt = U.T @ y
+    F = jnp.stack([jnp.ones(n, jnp.float32), pc1], axis=1)
+    Ft = U.T @ F
+    # Null-model fit pins the 16x16 fallback grid deliberately (single
+    # design, accuracy over speed — see models/gwas.py:gwaslmm).
+    _, theta = _reml_scan(yt, Ft[None, :, :], s)
+    inv_d = 1.0 / (theta[0, 1] * s + theta[0, 0])
+
+    def kernel(Gl, U, Ft, yt, inv_d):
+        Gtl = jnp.dot(U.T, Gl, preferred_element_type=jnp.float32)
+        return _gls_scan(Gtl, Ft, yt, inv_d)
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    return fn(Gp, U, Ft, yt, inv_d)

@@ -17,6 +17,11 @@ class GBMConfig:
     mcmc_block_size: int = 256
     mcmc_n_iter: int = 1_500
     mcmc_n_burnin: int = 500
+    # BayesB/C within-block kernel: "grouped" samples K=mcmc_group_size
+    # markers per step via the exact collapsed 2^K-pattern draw (~K× fewer
+    # sequential steps); "scalar" is the one-marker-at-a-time oracle.
+    mcmc_indicator_update: str = "grouped"
+    mcmc_group_size: int = 8
     # λ paths
     n_lambda: int = 100
     lambda_min_ratio: float = 0.01

@@ -140,3 +140,82 @@ def test_sharded_grm_int8_dosage_matches_dense(mesh8):
     X = D.astype(np.float64) / 2.0
     Z = X - X.mean(axis=0, keepdims=True)
     assert np.abs(K - Z @ Z.T).max() < 1e-5
+
+
+def test_sharded_gwas_scans_match_single_device(mesh8):
+    """Mesh-sharded GWAS scans (VERDICT r2 item 3): one replicated eigh, then
+    each device scans its own marker shard — must exactly reproduce the
+    single-device scan (same internal kernels, columns are independent)."""
+    import jax.numpy as jnp
+
+    from genomicbreedingmodels_tpu.models.gwas import (
+        _eigh_device,
+        _gls_scan,
+        _grm_pc1_device,
+        _gwasols_scan,
+        _reml_scan,
+    )
+    from genomicbreedingmodels_tpu.parallel.sharded import (
+        sharded_gwaslmm,
+        sharded_gwasols,
+        sharded_gwasreml,
+    )
+
+    rng = np.random.default_rng(7)
+    n, p = 48, 120  # p not divisible by 8 -> exercises the pad/trim path
+    G = rng.normal(size=(n, p)).astype(np.float32)
+    G = (G - G.mean(0)) / G.std(0, ddof=1)
+    y = (G[:, :4] @ np.array([1.5, -1.0, 0.8, 0.6]) + rng.normal(size=n)).astype(np.float32)
+    y = (y - y.mean()) / y.std(ddof=1)
+    K = (G @ G.T / p).astype(np.float32)
+
+    Gj, yj, Kj = jnp.asarray(G), jnp.asarray(y), jnp.asarray(K)
+    s, U = _eigh_device(Kj)
+    yt = U.T @ yj
+    ones_t = U.T @ jnp.ones(n, jnp.float32)
+
+    # REML
+    Gt = U.T @ Gj
+    Xt_all = jnp.stack([jnp.broadcast_to(ones_t[:, None], Gt.shape), Gt], -1).transpose(1, 0, 2)
+    z_ref, _ = _reml_scan(yt, Xt_all, s, n_grid=8, n_newton=6)
+    z_sh = sharded_gwasreml(G, y, K, mesh8, n_grid=8, n_newton=6)
+    assert z_sh.shape == (p,)
+    np.testing.assert_allclose(z_sh, np.asarray(z_ref), rtol=2e-4, atol=2e-4)
+
+    # OLS
+    pc1 = _grm_pc1_device(Kj)
+    t_ref = _gwasols_scan(Gj, yj, pc1)
+    t_sh = sharded_gwasols(G, y, K, mesh8)
+    np.testing.assert_allclose(t_sh, np.asarray(t_ref), rtol=2e-4, atol=2e-4)
+
+    # LMM (EMMAX): null REML replicated, GLS scan sharded
+    F = jnp.stack([jnp.ones(n, jnp.float32), pc1], axis=1)
+    Ft = U.T @ F
+    _, theta = _reml_scan(yt, Ft[None, :, :], s)
+    inv_d = 1.0 / (theta[0, 1] * s + theta[0, 0])
+    zl_ref = _gls_scan(Gt, Ft, yt, inv_d)
+    zl_sh = sharded_gwaslmm(G, y, K, mesh8)
+    np.testing.assert_allclose(zl_sh, np.asarray(zl_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_gwas_public_api_mesh_dispatch(mesh8):
+    """gwasols/gwasreml/gwaslmm with mesh= must agree with mesh=None."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes = gbm.simulate_genomes(n=64, l=160, seed=5)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.2, 0.0, 0.0]]), n_qtl=4, seed=5
+    )
+    phenomes = gbm.extract_phenomes(trials)
+    for fn in (gbm.gwasols, gbm.gwaslmm):
+        f0 = fn(genomes=genomes, phenomes=phenomes)
+        f1 = fn(genomes=genomes, phenomes=phenomes, mesh=mesh8)
+        np.testing.assert_allclose(f1.b_hat, f0.b_hat, rtol=5e-4, atol=5e-4)
+    f0 = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
+    f1 = gbm.gwasreml(genomes=genomes, phenomes=phenomes, mesh=mesh8)
+    # Same argmax marker; z-stats near-identical. Tolerance is looser than
+    # the scan-level identity test above: the sharded rotation GEMM rounds
+    # differently in f32, and per-marker Newton can land a hair off on flat
+    # objectives (observed: 1/160 markers off by ~0.015 z).
+    assert np.argmax(np.abs(f0.b_hat)) == np.argmax(np.abs(f1.b_hat))
+    np.testing.assert_allclose(f1.b_hat, f0.b_hat, rtol=2e-2, atol=2e-2)
