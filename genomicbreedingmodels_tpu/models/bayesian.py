@@ -90,7 +90,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size", "pallas_groups"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -112,6 +112,7 @@ def _gibbs_chain(
     return_state: bool = False,
     pinned: bool = False,
     group_size: int = 0,
+    pallas_groups: bool = False,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -239,7 +240,25 @@ def _gibbs_chain(
             b_blk = b_blk.at[j].set(b_new)
             return (cdelta, delta, b_blk), incl
 
-        if grouped:
+        if grouped and pallas_groups:
+            # Same exact grouped 2^K-pattern draw as below, but the whole
+            # within-block sequential pass (hoisted pattern Choleskys + the
+            # group scan) runs as ONE Pallas kernel launch with VMEM-resident
+            # state — the XLA scan formulation is bound by per-op dispatch
+            # latency (~50-60 us per tiny group step). See ops/pallas_gibbs.py.
+            from ..ops.pallas_gibbs import grouped_block_update
+
+            K_g = group_size
+            n_groups = bs // K_g
+            gum = -jnp.log(-jnp.log(jax.random.uniform(
+                k2, (n_groups, 1 << K_g), minval=1e-12, maxval=1.0 - 1e-7
+            )))
+            delta, b_blk_new, incl_f = grouped_block_update(
+                Cb, u, b_blk, s2_blk, val_blk, normals, gum, sig_e2, pi_in,
+                K=K_g, interpret=jax.default_backend() == "cpu",
+            )
+            incl = incl_f > 0
+        elif grouped:
             # Exact partially-collapsed draw of (γ_g, b_g), K markers at a
             # time: score all 2^K inclusion patterns with the COLLAPSED
             # (effect-integrated) marginal likelihood, Gumbel-max sample the
@@ -619,10 +638,12 @@ def gibbs_regression(
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
 
-    `indicator_update` ("grouped" default via GBMConfig, or "scalar") selects
-    the BayesB/C within-block kernel: the grouped 2^K-pattern collapsed draw
-    (~K× fewer sequential steps, exact) or the one-marker-at-a-time scan
-    (the equivalence oracle). Both target the identical posterior.
+    `indicator_update` ("auto" default via GBMConfig) selects the BayesB/C
+    within-block kernel: "pallas" = the grouped 2^K-pattern collapsed draw as
+    one Pallas kernel per block (ops/pallas_gibbs.py), "grouped" = the same
+    exact update as an XLA scan, "scalar" = the one-marker-at-a-time scan
+    (the equivalence oracle). All target the identical posterior; "auto"
+    picks pallas on accelerators and grouped on CPU.
 
     `fix_sigma_e2`/`fix_sigma_b2` (both required together) pin the residual
     and marker variances, making the marker-effect posterior exactly Gaussian
@@ -654,11 +675,22 @@ def gibbs_regression(
     n_burnin = cfg.mcmc_n_burnin if n_burnin is None else n_burnin
     block_size = cfg.mcmc_block_size if block_size is None else block_size
     indicator_update = cfg.mcmc_indicator_update if indicator_update is None else indicator_update
-    if indicator_update not in ("grouped", "scalar"):
+    if indicator_update not in ("auto", "grouped", "pallas", "scalar"):
         raise ValueError(f"unknown indicator_update {indicator_update!r}")
+    if indicator_update == "auto":
+        # The XLA grouped scan everywhere. The Pallas kernel
+        # (ops/pallas_gibbs.py) is the right design for direct-attached TPUs
+        # (one launch per block vs ~40 dispatch-bound HLO ops per group), but
+        # through the axon remote tunnel every pallas_call carries ~2.3 ms of
+        # fixed launch overhead even inside a compiled scan (measured: a
+        # 3-op kernel takes 2.49 ms/call in a device-side lax.scan), which
+        # makes it 2-3x SLOWER than the XLA scan here. Opt in explicitly
+        # with indicator_update="pallas" on hardware without that overhead.
+        indicator_update = "grouped"
+    pallas_groups = indicator_update == "pallas"
     group_size = (
         int(cfg.mcmc_group_size)
-        if indicator_update == "grouped" and model in ("BayesB", "BayesC")
+        if indicator_update in ("grouped", "pallas") and model in ("BayesB", "BayesC")
         else 0
     )
     X = np.asarray(X, dtype=np.float32)
@@ -736,6 +768,7 @@ def gibbs_regression(
         n_cats=n_cats,
         pinned=pinned,
         group_size=group_size,
+        pallas_groups=pallas_groups,
     )
     if n_chains == 1:
         if chunk_size is not None and chunk_size < n_iter:

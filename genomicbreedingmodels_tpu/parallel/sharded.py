@@ -216,6 +216,10 @@ def sharded_gibbs_regression(
     indicator_update = (
         cfg.mcmc_indicator_update if indicator_update is None else indicator_update
     )
+    if indicator_update in ("auto", "pallas"):
+        # Under shard_map the XLA grouped scan is used (the Pallas kernel is
+        # single-device; per-shard kernels inside shard_map are future work).
+        indicator_update = "grouped"
     group_size = (
         int(cfg.mcmc_group_size)
         if indicator_update == "grouped" and model in ("BayesB", "BayesC")

@@ -17,10 +17,15 @@ class GBMConfig:
     mcmc_block_size: int = 256
     mcmc_n_iter: int = 1_500
     mcmc_n_burnin: int = 500
-    # BayesB/C within-block kernel: "grouped" samples K=mcmc_group_size
-    # markers per step via the exact collapsed 2^K-pattern draw (~K× fewer
-    # sequential steps); "scalar" is the one-marker-at-a-time oracle.
-    mcmc_indicator_update: str = "grouped"
+    # BayesB/C within-block kernel: "grouped" runs the exact collapsed
+    # 2^K-pattern draw (K=mcmc_group_size) as an XLA scan — the fastest path
+    # through the axon TPU tunnel (~1.4-1.8x the scalar scan; K=8 beats
+    # K=10, which is already compute-bound). "pallas" runs the same update
+    # as one Pallas kernel per block (ops/pallas_gibbs.py) — the right
+    # design for direct-attached TPUs, but the tunnel adds ~2.3 ms fixed
+    # overhead per kernel launch, so it is opt-in. "scalar" is the
+    # one-marker-at-a-time oracle. "auto" (default) = grouped.
+    mcmc_indicator_update: str = "auto"
     mcmc_group_size: int = 8
     # λ paths
     n_lambda: int = 100

@@ -46,3 +46,72 @@ def test_grm_pallas_int8_matches_gram_dosage(n, p):
     Kp = np.asarray(grm_pallas_int8(D, ploidy=2, tm=32, tk=128))
     Kd = np.asarray(gram_dosage(D, ploidy=2))
     assert np.abs(Kp - Kd).max() < 1e-4
+
+
+def test_grouped_block_update_matches_f64_oracle():
+    """ops/pallas_gibbs.py grouped kernel (interpret mode) vs a from-scratch
+    f64 numpy implementation of the exact same partially-collapsed update
+    law: identical pattern selections and draws to f32 rounding, invalid
+    markers pinned to zero."""
+    import jax.numpy as jnp
+
+    from genomicbreedingmodels_tpu.ops.pallas_gibbs import grouped_block_update
+
+    rng = np.random.default_rng(0)
+    K, bs, n = 8, 64, 40
+    G = bs // K
+    X = rng.normal(size=(n, bs)).astype(np.float32)
+    Cb = (X.T @ X).astype(np.float32)
+    u = rng.normal(size=bs).astype(np.float32) * 3
+    b = (rng.normal(size=bs) * (rng.random(bs) < 0.3)).astype(np.float32)
+    s2 = np.full(bs, 0.4, np.float32)
+    val = np.ones(bs, np.float32)
+    val[-3:] = 0.0
+    eta = rng.normal(size=bs).astype(np.float32)
+    gum = -np.log(-np.log(rng.random((G, 1 << K)).astype(np.float32) + 1e-12))
+    sig_e2, pi_in = np.float32(0.8), np.float32(0.3)
+
+    d, bn, incl = grouped_block_update(
+        jnp.asarray(Cb), jnp.asarray(u), jnp.asarray(b), jnp.asarray(s2),
+        jnp.asarray(val), jnp.asarray(eta), jnp.asarray(gum),
+        jnp.float32(sig_e2), jnp.float32(pi_in), K=K, interpret=True,
+    )
+    d, bn, incl = np.asarray(d), np.asarray(bn), np.asarray(incl)
+    assert np.all(bn[-3:] == 0)
+
+    patterns = ((np.arange(1 << K)[:, None] >> np.arange(K)[None, :]) & 1).astype(np.float64)
+    b_ref = b.astype(np.float64).copy()
+    cdelta = np.zeros(bs)
+    d_ref = np.zeros(bs)
+    incl_ref = np.zeros(bs)
+    Cb64, u64 = Cb.astype(np.float64), u.astype(np.float64)
+    for g in range(G):
+        r0 = g * K
+        C_gg = Cb64[r0:r0 + K, r0:r0 + K]
+        v = (u64[r0:r0 + K] - cdelta[r0:r0 + K] + C_gg @ b_ref[r0:r0 + K]) / sig_e2
+        val_g, s2_g = val[r0:r0 + K].astype(np.float64), s2[r0:r0 + K].astype(np.float64)
+        logws = np.zeros(1 << K)
+        cand = []
+        for m in range(1 << K):
+            Mg = patterns[m] * val_g
+            P = (C_gg / sig_e2) * np.outer(Mg, Mg) + np.diag(np.where(Mg > 0, 1 / s2_g, 1.0))
+            L = np.linalg.cholesky(P)
+            w = np.linalg.solve(L, np.where(Mg > 0, v, 0.0))
+            logws[m] = (
+                Mg.sum() * np.log(pi_in)
+                + (val_g * (1 - patterns[m])).sum() * np.log1p(-pi_in)
+                - 0.5 * np.sum(np.where(Mg > 0, np.log(s2_g), 0.0))
+                - np.sum(np.log(np.diag(L))) + 0.5 * w @ w
+                - 1e30 * np.sum(patterns[m] * (1 - val_g))
+            )
+            cand.append((L, w, Mg))
+        L, w, Mg = cand[np.argmax(logws + gum[g])]
+        b_new = np.where(Mg > 0, np.linalg.solve(L.T, w + eta[r0:r0 + K]), 0.0)
+        dd = b_new - b_ref[r0:r0 + K]
+        cdelta += dd @ Cb64[r0:r0 + K, :]
+        d_ref[r0:r0 + K] = dd
+        b_ref[r0:r0 + K] = b_new
+        incl_ref[r0:r0 + K] = Mg > 0
+    np.testing.assert_allclose(d, d_ref, atol=5e-6)
+    np.testing.assert_allclose(bn, b_ref, atol=5e-6)
+    assert np.all(incl_ref == incl)
