@@ -182,7 +182,40 @@ def _lasso_fold(X, y, w, lambdas, n_iter=300):
     return preds.T, B, gcv, b0
 
 
-_lasso_fold_jit = jax.jit(_lasso_fold, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_iter",))
+def _lasso_folds_single(X, y, W, lambdas, n_iter: int = 300):
+    return jax.vmap(lambda w: _lasso_fold(X, y, w, lambdas, n_iter=n_iter))(W)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "mesh", "axis"))
+def _lasso_folds_meshed(X, y, W, lambdas, mesh: Mesh, axis: str, n_iter: int = 300):
+    def kernel(X, y, Wl, lambdas):
+        return jax.vmap(lambda w: _lasso_fold(X, y, w, lambdas, n_iter=n_iter))(Wl)
+
+    fn = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis, None), P(None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+    return fn(X, y, W, lambdas)
+
+
+def _lasso_folds(X, y, W, lambdas, mesh: Optional[Mesh]):
+    """Dispatch the whole lasso fold batch: vmapped FISTA in ONE program on a
+    single device, or folds partitioned over the mesh's 'dp' axis — the same
+    shape as `_solve_folds` (ridge/gblup), so lasso folds now cross the mesh
+    too instead of looping per fold on one device."""
+    F, n = W.shape
+    if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
+        preds, B, crit, b0 = _lasso_folds_single(X, y, jnp.asarray(W), lambdas)
+        return np.asarray(preds), np.asarray(B), np.asarray(crit), np.asarray(b0)
+    axis = list(mesh.shape.keys())[0]
+    D = mesh.shape[axis]
+    Fp = ((F + D - 1) // D) * D
+    if Fp != F:  # pad with all-training dummy folds; results discarded
+        W = np.concatenate([W, np.ones((Fp - F, n), dtype=W.dtype)], axis=0)
+    preds, B, crit, b0 = _lasso_folds_meshed(X, y, jnp.asarray(W), lambdas, mesh, axis)
+    return np.asarray(preds[:F]), np.asarray(B[:F]), np.asarray(crit[:F]), np.asarray(b0[:F])
 
 
 def cvbulk_batched(
@@ -203,8 +236,8 @@ def cvbulk_batched(
     surface as `cvbulk`; each CV's fit carries the fold's chosen λ (or
     variance ratio) in `extras` and (with `store_effects`) marker effects in
     `b_hat` so `predict` works. Pass `mesh=Mesh(jax.devices(), ('dp',))` to
-    spread folds across devices (ridge/gblup; lasso folds run as successive
-    single-program λ batches).
+    spread folds across devices (ridge, gblup, AND lasso — all three models
+    dispatch the fold batch the same way).
     """
     for m in models:
         if m not in BATCHED_MODELS:
@@ -285,16 +318,16 @@ def cvbulk_batched(
                         ),
                         jnp.float32,
                     )
+                preds_l, B_l, crit_l, b0_l = _lasso_folds(X, y, W, lasso_lams, mesh)
+                best_l = np.argmin(crit_l, axis=1)
                 for f, (i, j) in enumerate(tags):
-                    w = jnp.asarray(W[f])
-                    preds_l, B, crit_l, b0_l = _lasso_fold_jit(X, y, w, lasso_lams)
-                    bidx = int(np.argmin(np.asarray(crit_l)))
+                    bidx = int(best_l[f])
                     cvs.append(
                         _emit_lasso(
                             genomes, phi, W[f], V[f],
-                            np.asarray(preds_l[bidx], dtype=np.float64),
-                            np.asarray(B[:, bidx], dtype=np.float64),
-                            float(b0_l[bidx]), str(trait), i, j,
+                            np.asarray(preds_l[f, bidx], dtype=np.float64),
+                            np.asarray(B_l[f, :, bidx], dtype=np.float64),
+                            float(b0_l[f, bidx]), str(trait), i, j,
                             float(np.asarray(lasso_lams)[bidx]), store_effects,
                         )
                     )

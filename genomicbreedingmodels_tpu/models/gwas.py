@@ -82,8 +82,14 @@ def gwasprep(
         raise ValueError(f"unrecognised GRM_type {GRM_type!r}; choose from {GRM_TYPES}")
     if np.var(y, ddof=1) < np.finfo(np.float64).eps:
         raise ValueError(f"no variance in the trait: {phenomes.traits[idx_trait]}")
+    # Near-constant loci (sd <= 1e-6) are dropped — the SAME threshold as the
+    # device-resident prep (_prep_device below), so host- and device-backed
+    # scans keep identical loci sets (b_hat_labels) on every input. The
+    # reference keeps anything with nonzero variance (src/gwas.jl:112-115),
+    # but a locus with sd in (eps, 1e-6] standardizes into a pure-noise
+    # column; see the rationale at the device threshold.
     v = np.std(G, axis=0, ddof=1)
-    keep = np.flatnonzero((v > np.finfo(np.float64).eps) & np.isfinite(v))
+    keep = np.flatnonzero((v > 1e-6) & np.isfinite(v))
     G = G[:, keep]
     loci_alleles = loci_alleles[keep]
 

@@ -118,6 +118,13 @@ def blocked_cholesky(A: jnp.ndarray, nb: int = 16) -> jnp.ndarray:
 
     Equivalent to `jnp.linalg.cholesky` but restructured into ~nb panel
     GEMMs; only A's lower triangle is read.
+
+    Conditioning caveat: the substitution phases apply explicit inverses of
+    the diagonal blocks by GEMM (MXU-friendly) instead of triangular solves,
+    which loses accuracy on ill-conditioned A — roughly a factor of
+    κ(block)² vs κ(block) in the local error term. Intended for
+    well-conditioned mixed-model systems like K + λI with λ well above the
+    noise floor; for κ(A) ≳ 1e6 prefer `jax.scipy.linalg.cho_solve`.
     """
     cols, _ = _chol_panels(A, int(nb))
     return jnp.concatenate(cols, axis=1)
@@ -125,7 +132,11 @@ def blocked_cholesky(A: jnp.ndarray, nb: int = 16) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("nb",))
 def blocked_cho_solve(A: jnp.ndarray, y: jnp.ndarray, nb: int = 16) -> jnp.ndarray:
-    """Solve A x = y for PSD A (lower triangle read) via blocked Cholesky."""
+    """Solve A x = y for PSD A (lower triangle read) via blocked Cholesky.
+
+    Shares `blocked_cholesky`'s conditioning caveat: diagonal-block inverses
+    are applied by GEMM, so accuracy degrades on ill-conditioned A (use
+    `cho_solve` beyond κ ≈ 1e6). Ideal for K + λI mixed-model systems."""
     cols, invs = _chol_panels(A, int(nb))
     return _solve_panels(cols, invs, y)
 

@@ -220,7 +220,20 @@ def center_gram_lower(L: jnp.ndarray) -> jnp.ndarray:
     meaningful (the upper holds -(rm_i + rm_j - gm)); feed it to consumers
     that read a single triangle (ops/chol.py:gblup_solve_lower). Skipping
     the mirror pass saves two n x n HBM passes on the GBLUP hot path.
+
+    PRECONDITION: the strict upper triangle of `L` must be zero — passing a
+    full symmetric Gram silently double-counts the off-diagonal mass in the
+    recovered row means. Checked eagerly (outside jit) below; inside jit the
+    producer (`_gram_panel_int8_lower` et al.) guarantees it.
     """
+    if not isinstance(L, jax.core.Tracer):
+        bad = jnp.max(jnp.abs(jnp.triu(L, k=1)))
+        if float(bad) != 0.0:
+            raise ValueError(
+                "center_gram_lower got a matrix with nonzero strict upper "
+                f"triangle (max |upper| = {float(bad):.3e}); pass the lower "
+                "triangle only, or use center_gram for symmetric input"
+            )
     n = L.shape[0]
     rs = jnp.sum(L, axis=1)
     cs = jnp.sum(L, axis=0)

@@ -296,7 +296,9 @@ def _lasso_fista_batch(Z: Array, yc: Array, w: Array, lambdas: Array, step: Arra
 
         return body
 
-    B0 = jnp.zeros((p, L), dtype=jnp.float32)
+    # Init derived from the (possibly vmap-batched) design so the fori_loop
+    # carry is batched from iteration 0 (carry-type mismatch under vmap).
+    B0 = jnp.zeros((p, L), dtype=jnp.float32) + 0.0 * Zw32[0, :, None]
     n_bulk = max(n_iter - max(20, n_iter // 8), 0)
     # Bulk iterations on bf16 operands, then an f32 polish leg (momentum
     # restarted) so the final iterates satisfy the KKT conditions to f32
@@ -314,7 +316,9 @@ def _lasso_fista_batch(Z: Array, yc: Array, w: Array, lambdas: Array, step: Arra
 def _power_iter_lmax(Z: Array) -> Array:
     """Largest eigenvalue of ZᵀZ via 30 power iterations on the n x n Gram."""
     K = jnp.dot(Z, Z.T, preferred_element_type=jnp.float32)
-    v = jnp.ones((K.shape[0],), dtype=jnp.float32) / jnp.sqrt(K.shape[0])
+    # Init derived from K (not a fresh constant) so the fori_loop carry is
+    # already batched when this runs under vmap (batched-K carry mismatch).
+    v = (K[:, 0] * 0.0 + 1.0) / jnp.sqrt(jnp.float32(K.shape[0]))
 
     def body(_, v):
         v = K @ v
