@@ -46,17 +46,29 @@ def mtgblup_em(
     s: np.ndarray,
     n_iter: int = 100,
     tol: float = 1e-8,
+    init: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    R_extra: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[float]]:
     """EM-REML for the rotated multi-trait model ỹᵢ ~ N(0, sᵢ G_g + R).
 
     Yt: (n, t) rotated centered phenotypes (Uᵀ Y_c); s: (n,) GRM eigenvalues.
     Returns (G_g, R, M, logliks) with M (n, t) = E[ũ] the rotated BLUPs.
     All math is f64 host einsums over t×t blocks — n×t³ flops, trivial.
+
+    `init=(G0, R0)` warm-starts the components (used by the missing-record
+    outer loop). `R_extra` is a t×t TOTAL second-moment correction added to
+    the residual-update numerator — the summed conditional covariances of
+    imputed residuals, so imputation noise is charged to R instead of
+    silently deflating it (see `mtgblup_em_missing`).
     """
     n, t = Yt.shape
     emp = Yt.T @ Yt / n
-    G_g = _psd_clip(0.5 * emp)
-    R = _psd_clip(0.5 * emp)
+    if init is not None:
+        G_g, R = _psd_clip(init[0]), _psd_clip(init[1])
+    else:
+        G_g = _psd_clip(0.5 * emp)
+        R = _psd_clip(0.5 * emp)
+    R_extra_tot = np.zeros((t, t)) if R_extra is None else np.asarray(R_extra)
     pos = s > 1e-10
     n_pos = int(pos.sum())
     logliks: List[float] = []
@@ -79,7 +91,7 @@ def mtgblup_em(
         G_new = _psd_clip(
             np.sum(Euu[pos] / s[pos, None, None], axis=0) / max(n_pos, 1)
         )
-        R_new = _psd_clip(np.sum(Eee, axis=0) / n)
+        R_new = _psd_clip((np.sum(Eee, axis=0) + R_extra_tot) / n)
         delta = max(
             np.abs(G_new - G_g).max() / max(np.abs(G_g).max(), 1e-12),
             np.abs(R_new - R).max() / max(np.abs(R).max(), 1e-12),
@@ -90,6 +102,104 @@ def mtgblup_em(
     return G_g, R, M, logliks
 
 
+def mtgblup_em_missing(
+    Y: np.ndarray,
+    s: np.ndarray,
+    U: np.ndarray,
+    n_outer: int = 40,
+    n_inner: int = 5,
+    tol: float = 1e-6,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[float]]:
+    """Multi-trait EM-REML with per-(entry, trait) missing records.
+
+    Y: (n, t) phenotypes with NaN marking missing cells (every row must have
+    ≥1 observed trait); s, U: the GRM eigendecomposition. Returns
+    (G_g, R, M, mu, logliks) with M the rotated BLUPs of the final inner EM
+    and mu the per-trait fixed means.
+
+    Algorithm — imputation-EM. The rotation that decouples the complete-data
+    model mixes rows, so per-row missingness cannot ride through it
+    directly. Instead, alternate:
+
+    1. inner rotated EM (`mtgblup_em`, warm-started) on the COMPLETED panel
+       → (G_g, R) and rotated BLUPs M;
+    2. re-impute each missing cell from its row's residual conditional:
+       grouped by missing pattern π = (obs o, mis m),
+           ê_m = R_mo R_oo⁻¹ e_o,   y_m ← μ_m + u_m + ê_m,
+       with u = U M the genetic BLUPs. The conditional covariance
+       C_π = R_mm − R_mo R_oo⁻¹ R_om, summed over rows, feeds back into the
+       next inner EM's R update (`R_extra`) so imputation noise does not
+       deflate the residual covariance.
+
+    Each step is a conditional-expectation update of the same complete-data
+    objective (an ECM-style scheme); the genetic-uncertainty coupling between
+    u's posterior and the imputed residuals is the one approximation
+    (documented; it vanishes as the observed fraction grows). What matters
+    in practice — and what tests/test_multitrait.py asserts — is that a
+    sparsely measured trait borrows strength through both the genetic (u_m)
+    and residual (R_mo) channels, beating complete-case multi-trait AND
+    single-trait GBLUP on correlated-trait simulations.
+    """
+    Y = np.asarray(Y, dtype=np.float64)
+    n, t = Y.shape
+    O = np.isfinite(Y)
+    if not np.all(O.sum(axis=1) >= 1):
+        raise ValueError("every row must observe at least one trait")
+    pats, pat_ids = np.unique(O, axis=0, return_inverse=True)
+
+    mu = np.array([Y[O[:, k], k].mean() for k in range(t)])
+    Ycomp = np.where(O, Y, mu[None, :])  # start: per-trait observed means
+    G_g = R = None
+    logliks: List[float] = []
+    M = np.zeros((n, t))
+    for outer in range(n_outer):
+        Yc = Ycomp - mu
+        Yt = U.T @ Yc
+        R_extra = np.zeros((t, t))
+        if G_g is not None:
+            # total conditional covariance of the imputed residuals
+            for pi, pat in enumerate(pats):
+                m = np.flatnonzero(~pat)
+                if len(m) == 0:
+                    continue
+                o = np.flatnonzero(pat)
+                cnt = int(np.sum(pat_ids == pi))
+                A = np.linalg.solve(R[np.ix_(o, o)], R[np.ix_(o, m)]).T
+                C = R[np.ix_(m, m)] - A @ R[np.ix_(o, m)]
+                R_extra[np.ix_(m, m)] += cnt * C
+        init = None if G_g is None else (G_g, R)
+        G_new, R_new, M, lls = mtgblup_em(
+            Yt, s, n_iter=n_inner, init=init, R_extra=R_extra
+        )
+        logliks.extend(lls)
+        delta = (
+            np.inf if G_g is None else max(
+                np.abs(G_new - G_g).max() / max(np.abs(G_g).max(), 1e-12),
+                np.abs(R_new - R).max() / max(np.abs(R).max(), 1e-12),
+            )
+        )
+        G_g, R = G_new, R_new
+        # Re-impute: y_mis ← μ + u + R_mo R_oo⁻¹ (y_obs − μ − u)
+        u = U @ M
+        Eres = Ycomp - mu[None, :] - u
+        for pi, pat in enumerate(pats):
+            m = np.flatnonzero(~pat)
+            if len(m) == 0:
+                continue
+            o = np.flatnonzero(pat)
+            rows = np.flatnonzero(pat_ids == pi)
+            A = np.linalg.solve(R[np.ix_(o, o)], R[np.ix_(o, m)]).T
+            e_obs = Y[np.ix_(rows, o)] - mu[o][None, :] - u[np.ix_(rows, o)]
+            Ycomp[np.ix_(rows, m)] = mu[m][None, :] + u[np.ix_(rows, m)] + e_obs @ A.T
+        # fixed means from observed cells given the current genetic fit
+        mu = np.array([
+            (Y[O[:, k], k] - u[O[:, k], k]).mean() for k in range(t)
+        ])
+        if delta < tol:
+            break
+    return G_g, R, M, mu, logliks
+
+
 def gblup_multitrait_cov(
     genomes: Genomes,
     phenomes: Phenomes,
@@ -97,17 +207,27 @@ def gblup_multitrait_cov(
     idx_loci_alleles: Optional[Sequence[int]] = None,
     GRM_type: str = "simple",
     n_iter: int = 100,
+    missing_policy: str = "em",
     verbose: bool = False,
 ) -> List[Fit]:
     """Multi-trait GBLUP with full genetic + residual trait covariances.
 
-    Complete-case across traits (rows with any missing phenotype are
-    dropped). Returns one Fit per trait whose `b_hat` are RR-BLUP-equivalent
+    Missing records: with `missing_policy="em"` (default), every entry with
+    at least ONE observed trait is kept and the imputation-EM of
+    `mtgblup_em_missing` handles per-(entry, trait) gaps — real multi-trait
+    data is mostly incomplete, and borrowing strength matters MOST for the
+    sparsely measured traits. `missing_policy="complete-case"` restores the
+    drop-any-missing-row behaviour. Per-trait Fit metrics are computed on
+    that trait's OBSERVED entries only.
+
+    Returns one Fit per trait whose `b_hat` are RR-BLUP-equivalent
     marker effects — so `predict` and the CV harness work unchanged — and
     whose `extras` carry the shared G_g / R / per-trait h² and genetic
     correlations. Compare `gblup_multitrait` (independent per-trait solves):
     this model borrows strength across genetically correlated traits.
     """
+    if missing_policy not in ("em", "complete-case"):
+        raise ValueError(f"unknown missing_policy {missing_policy!r}")
     if not genomes.checkdims():
         raise ValueError("the Genomes struct is corrupted")
     if not phenomes.checkdims():
@@ -121,9 +241,14 @@ def gblup_multitrait_cov(
         else np.asarray(idx_loci_alleles, dtype=np.int64)
     )
     Y_all = np.asarray(phenomes.phenotypes[idx_e], dtype=np.float64)
-    keep = np.flatnonzero(np.all(np.isfinite(Y_all), axis=1))
-    if len(keep) < 2:
-        raise ValueError("fewer than 2 entries with complete multi-trait records")
+    if missing_policy == "em":
+        keep = np.flatnonzero(np.any(np.isfinite(Y_all), axis=1))
+        if len(keep) < 2:
+            raise ValueError("fewer than 2 entries with any multi-trait record")
+    else:
+        keep = np.flatnonzero(np.all(np.isfinite(Y_all), axis=1))
+        if len(keep) < 2:
+            raise ValueError("fewer than 2 entries with complete multi-trait records")
     rows = idx_e[keep]
     Y = Y_all[keep]
     X = np.asarray(genomes.allele_frequencies[np.ix_(rows, idx_l)], dtype=np.float64)
@@ -151,10 +276,13 @@ def gblup_multitrait_cov(
     denom = grm.denominator
     s, U = _eigh_sym((K + K.T) / 2.0)
 
-    mu = Y.mean(axis=0)
-    Yc = Y - mu
-    Yt = U.T @ Yc
-    G_g, R, M, logliks = mtgblup_em(Yt, s, n_iter=n_iter)
+    obs = np.isfinite(Y)
+    if missing_policy == "em" and not np.all(obs):
+        G_g, R, M, mu, logliks = mtgblup_em_missing(Y, s, U, n_outer=n_iter)
+    else:
+        mu = Y.mean(axis=0)
+        Yt = U.T @ (Y - mu)
+        G_g, R, M, logliks = mtgblup_em(Yt, s, n_iter=n_iter)
 
     # Rotated BLUPs → RR-BLUP-equivalent marker effects: u = U M and
     # Z Zᵀ = denom·K ⇒ b_t = (1/denom) Zᵀ U (M_t / s) satisfies Z b_t = u_t
@@ -173,8 +301,9 @@ def gblup_multitrait_cov(
     for k in range(t):
         b = B[:, k]
         b0 = float(mu[k] - X.mean(axis=0) @ b)
-        y_pred = b0 + X @ b
-        y_true = Y[:, k]
+        ok = np.flatnonzero(obs[:, k])  # metrics on observed entries only
+        y_pred = b0 + X[ok] @ b
+        y_true = Y[ok, k]
         fit = Fit(
             model="gblup",
             b_hat=np.concatenate([[b0], b]),
@@ -182,8 +311,8 @@ def gblup_multitrait_cov(
                 [np.asarray(["intercept"], dtype=object), loci_alleles]
             ),
             trait=str(phenomes.traits[k]),
-            entries=entries,
-            populations=populations,
+            entries=entries[ok],
+            populations=populations[ok],
             y_true=y_true,
             y_pred=y_pred,
             metrics=metrics(y_true, y_pred),

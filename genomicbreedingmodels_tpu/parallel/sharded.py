@@ -184,6 +184,7 @@ def sharded_gibbs_regression(
     device_schedule: str = "auto",
     chunk_size: int = None,
     indicator_update: str = None,
+    checkpoint_path: str = None,
 ) -> Tuple[float, np.ndarray]:
     """Marker-sharded Bayesian-alphabet Gibbs across the mesh `axis`.
 
@@ -205,6 +206,13 @@ def sharded_gibbs_regression(
     (and always divergent for BL, whose sig_e2-proportional shrinkage
     amplifies the Jacobi noise). Interleaving loci across shards reduces the
     cross-shard correlation if you need concurrent throughput.
+
+    `checkpoint_path` enables crash-resume between chunked segments, same
+    snapshot format as the single-chip sampler (models/bayesian.py): the
+    sharded carry is gathered to host numpy after each segment and re-sharded
+    on resume (in_specs do the placement), so a chain killed mid-run restarts
+    from the last completed segment bit-identically (the RNG key rides in the
+    carry). Chunking is forced on when a checkpoint path is given.
     """
     from ..models.bayesian import _MODEL_IDS, _gibbs_chain, BAYESIAN_MODELS
 
@@ -266,6 +274,8 @@ def sharded_gibbs_regression(
         # tunnel kills very long single executions).
         if float(n_iter) * p_pad > 4e6:
             chunk_size = max(25, int(4e6 / p_pad))
+        elif checkpoint_path is not None:
+            chunk_size = max(25, n_iter // 4)  # resume needs segment boundaries
     # State sharding over the chain carry: marker-axis arrays are sharded,
     # scalars/residual/latent replicated (matches _gibbs_chain's state0).
     state_specs = (
@@ -278,17 +288,50 @@ def sharded_gibbs_regression(
         seq_rounds=seq_rounds, state_specs=state_specs, group_size=group_size,
     )
     Xj, yj, vj = jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid)
-    seg0 = int(min(chunk_size or n_iter, n_iter))
-    mu_hat, b_hat, state = _sharded_gibbs_first(
-        Xj, yj, vj, key, hyper, jnp.arange(seg0), **statics
-    )
-    done = seg0
+    state = None
+    done = 0
+    if checkpoint_path is not None:
+        from ..utils.checkpoint import load_state as _load
+
+        snap = _load(checkpoint_path)
+        if snap is not None:
+            done = int(snap.pop("__done__"))
+            state = tuple(jnp.asarray(snap[f"s{i}"]) for i in range(len(snap)))
+
+    def _save_snap(state, done):
+        from ..utils.checkpoint import save_state as _save
+
+        snap = {f"s{i}": np.asarray(v) for i, v in enumerate(state)}
+        snap["__done__"] = np.asarray(done)
+        _save(checkpoint_path, snap)
+
+    mu_hat = b_hat = None
+    if state is None:
+        seg0 = int(min(chunk_size or n_iter, n_iter))
+        mu_hat, b_hat, state = _sharded_gibbs_first(
+            Xj, yj, vj, key, hyper, jnp.arange(seg0), **statics
+        )
+        done = seg0
+        if checkpoint_path is not None:
+            _save_snap(state, done)
     while done < n_iter:
-        seg = int(min(chunk_size, n_iter - done))
+        seg = int(min(chunk_size or n_iter, n_iter - done))
         mu_hat, b_hat, state = _sharded_gibbs_next(
             Xj, yj, vj, key, hyper, state, jnp.arange(done, done + seg), **statics
         )
         done += seg
+        if checkpoint_path is not None:
+            _save_snap(state, done)
+    if mu_hat is None:
+        # Resumed from an already-complete checkpoint: recover the posterior
+        # means straight from the carried accumulators (indices 8/9/10 of the
+        # chain state — see models/bayesian.py:_gibbs_chain's carry layout).
+        acc_b = np.asarray(state[8], dtype=np.float64)
+        acc_mu = float(np.asarray(state[9]))
+        acc_n = max(float(np.asarray(state[10])), 1e-12)
+        b_mean = acc_b / acc_n
+        mu_cols = Xp.mean(axis=0).astype(np.float64)
+        return float(acc_mu / acc_n - mu_cols @ b_mean), b_mean[:p]
     return float(mu_hat), np.asarray(b_hat, dtype=np.float64)[:p]
 
 

@@ -68,7 +68,7 @@ def test_multitrait_fit_is_cv_compatible(correlated_traits):
     assert np.isfinite(cv.metrics["cor"])
 
 
-def test_multitrait_requires_complete_cases(correlated_traits):
+def test_multitrait_complete_case_policy_requires_complete_rows(correlated_traits):
     genomes, phenomes, _ = correlated_traits
     pheno = phenomes.phenotypes.copy()
     pheno[:149, 1] = np.nan  # < 2 complete rows
@@ -77,7 +77,52 @@ def test_multitrait_requires_complete_cases(correlated_traits):
         traits=phenomes.traits, phenotypes=pheno,
     )
     with pytest.raises(ValueError, match="complete multi-trait"):
-        gbm.gblup_multitrait_cov(genomes, p2)
+        gbm.gblup_multitrait_cov(genomes, p2, missing_policy="complete-case")
+    with pytest.raises(ValueError, match="missing_policy"):
+        gbm.gblup_multitrait_cov(genomes, p2, missing_policy="bogus")
+
+
+def test_multitrait_em_handles_missing_records(correlated_traits):
+    """VERDICT r2 item 5 'done' criterion: with 30% of trait_2 missing, the
+    EM multi-trait GEBV for trait_2 beats BOTH complete-case multi-trait AND
+    single-trait GBLUP (fit on trait_2's observed rows), evaluated against
+    the latent genetic values on the MASKED entries."""
+    genomes, phenomes, g = correlated_traits
+    rng = np.random.default_rng(3)
+    n = len(genomes.entries)
+    masked = np.sort(rng.choice(n, size=int(0.3 * n), replace=False))
+    observed = np.setdiff1d(np.arange(n), masked)
+    pheno = phenomes.phenotypes.copy()
+    pheno[masked, 1] = np.nan
+    p2 = gbm.Phenomes(
+        entries=phenomes.entries, populations=phenomes.populations,
+        traits=phenomes.traits, phenotypes=pheno,
+    )
+    fits_em = gbm.gblup_multitrait_cov(genomes, p2)  # default: EM
+    fits_cc = gbm.gblup_multitrait_cov(genomes, p2, missing_policy="complete-case")
+    fit_st = gbm.gblup(genomes=genomes, phenomes=p2, idx_entries=observed, idx_trait=1)
+    pred_em = gbm.predict(fits_em[1], genomes, idx_entries=masked)
+    pred_cc = gbm.predict(fits_cc[1], genomes, idx_entries=masked)
+    pred_st = gbm.predict(fit_st, genomes, idx_entries=masked)
+    g_m = g[masked]
+    cor_em = np.corrcoef(pred_em, g_m)[0, 1]
+    cor_cc = np.corrcoef(pred_cc, g_m)[0, 1]
+    cor_st = np.corrcoef(pred_st, g_m)[0, 1]
+    assert cor_em > cor_cc, (cor_em, cor_cc)
+    assert cor_em > cor_st, (cor_em, cor_st)
+    # EM's trait_2 Fit reports metrics on the observed entries only
+    assert len(fits_em[1].y_true) == len(observed)
+    assert np.all(np.isfinite(fits_em[1].y_true))
+
+
+def test_multitrait_em_matches_complete_case_when_no_missing(correlated_traits):
+    """With a fully observed panel the EM policy must reduce to the
+    complete-case path exactly (same branch)."""
+    genomes, phenomes, _ = correlated_traits
+    fits_a = gbm.gblup_multitrait_cov(genomes, phenomes, missing_policy="em")
+    fits_b = gbm.gblup_multitrait_cov(genomes, phenomes, missing_policy="complete-case")
+    np.testing.assert_allclose(fits_a[0].b_hat, fits_b[0].b_hat)
+    np.testing.assert_allclose(fits_a[1].b_hat, fits_b[1].b_hat)
 
 
 def test_multienv_recovers_env_variance():
