@@ -57,6 +57,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.gbmio_tsv_parse.restype = c_int
         lib.gbmio_bed_decode.argtypes = [u8p, c_long, c_long, dp, c_int]
         lib.gbmio_bed_decode.restype = c_int
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        lib.gbmio_bed_decode_i8.argtypes = [u8p, c_long, c_long, i8p, c_int, lp, c_int]
+        lib.gbmio_bed_decode_i8.restype = c_int
         lib.gbmio_bed_encode.argtypes = [dp, c_long, c_long, u8p, c_int]
         lib.gbmio_bed_encode.restype = c_int
         lib.gbmio_col_means.argtypes = [dp, c_long, c_long, dp, c_int]

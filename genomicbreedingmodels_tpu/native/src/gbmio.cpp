@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstring>
 #include <limits>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -180,6 +181,116 @@ int gbmio_bed_decode(const uint8_t* buf, long n_samples, long n_snps,
         });
     }
     for (auto& th : threads) th.join();
+    return 0;
+}
+
+// Decode a PLINK .bed payload straight to int8 dosages {0, 1, 2}
+// (-1 = missing) — the exact-MXU int8 Gram path wants dosages, not
+// frequencies, and the int8 output is 8x smaller than the f64 one.
+// `out_snp_major` != 0: out[n_snps * n_samples] stays SNP-major (the .bed
+// native order — pure LUT decode, 4 dosages per payload byte, no transpose;
+// the device transposes int8 ~1000x faster than 2 host cores can).
+// `out_snp_major` == 0: out[n_samples * n_snps] sample-major via a second,
+// tiled-transpose phase. Returns the number of missing calls via
+// *n_missing (callers that need complete panels can test it cheaply).
+int gbmio_bed_decode_i8(const uint8_t* buf, long n_samples, long n_snps,
+                        int8_t* out, int n_threads, long* n_missing,
+                        int out_snp_major) {
+    const long bytes_per_snp = (n_samples + 3) / 4;
+    const long n_pad = bytes_per_snp * 4;
+    // lut32[b] = the 4 int8 dosages packed little-endian; miss_cnt[b] = how
+    // many of the 4 two-bit codes in byte b are the missing code (01).
+    static uint32_t lut32[256];
+    static uint8_t miss_cnt[256];
+    static std::once_flag lut_once;
+    std::call_once(lut_once, []() {
+        static const int8_t code_lut[4] = {0, -1, 1, 2};
+        for (int b = 0; b < 256; ++b) {
+            uint32_t v = 0;
+            int m = 0;
+            for (int k = 0; k < 4; ++k) {
+                int code = (b >> (2 * k)) & 0x3;
+                v |= (static_cast<uint32_t>(static_cast<uint8_t>(code_lut[code]))
+                      << (8 * k));
+                if (code == 1) ++m;
+            }
+            lut32[b] = v;
+            miss_cnt[b] = static_cast<uint8_t>(m);
+        }
+    });
+    std::vector<int8_t> scratch;
+    if (!out_snp_major) scratch.resize(static_cast<size_t>(n_snps) * n_pad);
+    int nt = hw_threads(n_threads);
+    std::atomic<long> missing_total{0};
+    const long tail_start = (bytes_per_snp - 1) * 4;  // samples in the last byte
+    {
+        long chunk = (n_snps + nt - 1) / nt;
+        std::vector<std::thread> threads;
+        for (int t = 0; t < nt; ++t) {
+            long s0 = t * chunk;
+            long s1 = std::min(n_snps, s0 + chunk);
+            if (s0 >= s1) break;
+            threads.emplace_back([&, s0, s1]() {
+                long miss = 0;
+                for (long s = s0; s < s1; ++s) {
+                    const uint8_t* col = buf + s * bytes_per_snp;
+                    uint8_t* dst = reinterpret_cast<uint8_t*>(
+                        out_snp_major ? out + s * n_samples : scratch.data() + s * n_pad);
+                    for (long b = 0; b < bytes_per_snp - 1; ++b) {
+                        uint32_t v = lut32[col[b]];
+                        std::memcpy(dst + b * 4, &v, 4);
+                        miss += miss_cnt[col[b]];
+                    }
+                    // Last byte: only n_samples - tail_start codes are real.
+                    uint32_t v = lut32[col[bytes_per_snp - 1]];
+                    long valid = std::min<long>(4, n_samples - tail_start);
+                    if (out_snp_major) {
+                        std::memcpy(dst + tail_start, &v, static_cast<size_t>(valid));
+                    } else {
+                        std::memcpy(dst + tail_start, &v, 4);
+                    }
+                    for (long k = 0; k < valid; ++k)
+                        if (static_cast<int8_t>((v >> (8 * k)) & 0xff) == -1) ++miss;
+                }
+                missing_total.fetch_add(miss, std::memory_order_relaxed);
+            });
+        }
+        for (auto& th : threads) th.join();
+    }
+    if (out_snp_major) {
+        if (n_missing) *n_missing = missing_total.load();
+        return 0;
+    }
+    {
+        // Tiled transpose scratch(snp-major, n_pad) -> out(sample-major).
+        // Threads own disjoint SAMPLE blocks (disjoint out rows); the inner
+        // loop runs over snps so writes are contiguous in `out`.
+        const long T = 128;
+        long chunk = (n_samples + nt - 1) / nt;
+        chunk = ((chunk + T - 1) / T) * T;  // tile-aligned thread splits
+        std::vector<std::thread> threads;
+        for (int t = 0; t < nt; ++t) {
+            long i0 = t * chunk;
+            long i1 = std::min(n_samples, i0 + chunk);
+            if (i0 >= i1) break;
+            threads.emplace_back([&, i0, i1]() {
+                for (long ib = i0; ib < i1; ib += T) {
+                    long ie = std::min(i1, ib + T);
+                    for (long sb = 0; sb < n_snps; sb += T) {
+                        long se = std::min(n_snps, sb + T);
+                        for (long i = ib; i < ie; ++i) {
+                            int8_t* dst = out + i * n_snps;
+                            const int8_t* src = scratch.data() + i;
+                            for (long s = sb; s < se; ++s)
+                                dst[s] = src[s * n_pad];
+                        }
+                    }
+                }
+            });
+        }
+        for (auto& th : threads) th.join();
+    }
+    if (n_missing) *n_missing = missing_total.load();
     return 0;
 }
 

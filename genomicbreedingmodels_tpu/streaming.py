@@ -25,7 +25,12 @@ from typing import Iterator, Optional, Tuple, Union
 
 import numpy as np
 
-__all__ = ["BedShardStreamer", "grm_from_bed", "gblup_from_bed"]
+__all__ = [
+    "BedShardStreamer",
+    "grm_from_bed",
+    "gblup_from_bed",
+    "gblup_from_bed_pieces",
+]
 
 _BED_MAGIC = b"\x6c\x1b\x01"
 
@@ -101,17 +106,38 @@ class BedShardStreamer:
             F32[ij] = mu[ij[1]]
         return F32
 
-    def _decode_shard_dosage(self, start: int, stop: int):
+    def _decode_shard_dosage(self, start: int, stop: int, snp_major: bool = False):
         """Decode a shard straight to int8 dosages {0, 1, 2} (-1 = missing).
 
         .bed genotypes ARE dosages, so no float materialization is needed:
         the int8 shard is 4x smaller than the f32 one (4x less host→device
         transfer) and feeds the exact int8 MXU Gram (ops/grm.py:gram_dosage).
-        Returns None when the shard contains missing calls — the caller falls
-        back to the imputed float path for that shard.
+        With `snp_major` the shard comes back (cols, n) in the .bed's native
+        order — no host transpose at all (the device does it in ~1 ms inside
+        gram_dosage_snp_major; 2 host cores would take ~1 s). Returns None
+        when the shard contains missing calls — the caller falls back to the
+        imputed float path for that shard.
         """
         payload = self._read_payload(start, stop)
         cols = stop - start
+        from .native.lib import load_native
+
+        lib = load_native()
+        if lib is not None:
+            import ctypes
+
+            shape = (cols, self.n) if snp_major else (self.n, cols)
+            D = np.empty(shape, dtype=np.int8)
+            n_missing = ctypes.c_long(0)
+            lib.gbmio_bed_decode_i8(
+                payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self.n, cols,
+                D.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), 0,
+                ctypes.byref(n_missing), 1 if snp_major else 0,
+            )
+            if n_missing.value > 0:
+                return None
+            return D
         # Same code→value convention as the float LUT [0.0, nan, 0.5, 1.0]
         # in _decode_shard, times ploidy 2: code0→0, code2→1, code3→2,
         # code1(missing)→-1.
@@ -120,17 +146,17 @@ class BedShardStreamer:
         codes = np.stack(
             [(rows >> shift) & 0x3 for shift in (0, 2, 4, 6)], axis=-1
         ).reshape(cols, -1)[:, : self.n]
-        D = lut[codes].T  # (n, cols) int8
+        D = lut[codes]  # (cols, n) int8, .bed native order
         if (D < 0).any():
             return None
-        return np.ascontiguousarray(D)
+        return np.ascontiguousarray(D if snp_major else D.T)
 
     def __len__(self) -> int:
         return -(-self.p // self.block_cols)
 
-    def _decode_auto(self, start: int, stop: int):
+    def _decode_auto(self, start: int, stop: int, snp_major: bool = False):
         """int8 dosage shard when complete, imputed float32 shard otherwise."""
-        D = self._decode_shard_dosage(start, stop)
+        D = self._decode_shard_dosage(start, stop, snp_major=snp_major)
         return D if D is not None else self._decode_shard(start, stop)
 
     def _iter_with(self, decode) -> Iterator[Tuple[int, int, np.ndarray]]:
@@ -150,10 +176,17 @@ class BedShardStreamer:
     def __iter__(self) -> Iterator[Tuple[int, int, np.ndarray]]:
         return self._iter_with(self._decode_shard)
 
-    def iter_dosage(self) -> Iterator[Tuple[int, int, np.ndarray]]:
+    def iter_dosage(self, snp_major: bool = False) -> Iterator[Tuple[int, int, np.ndarray]]:
         """Like iter(), but shards without missing calls come back as int8
         dosages (exact MXU path); shards with missing fall back to imputed
-        float32."""
+        float32 (always sample-major). `snp_major` keeps the int8 shards in
+        the .bed's native (cols, n) order — zero host transpose work; pair
+        with `ops.grm.gram_dosage_snp_major` (layout distinguishable by
+        dtype: int8 ⇒ snp-major, float32 ⇒ sample-major)."""
+        if snp_major:
+            return self._iter_with(
+                lambda a, b: self._decode_auto(a, b, snp_major=True)
+            )
         return self._iter_with(self._decode_auto)
 
 
@@ -180,7 +213,7 @@ def grm_from_bed(
     import jax
     import jax.numpy as jnp
 
-    from .ops.grm import center_gram, gram_dosage, gram_panel
+    from .ops.grm import center_gram, gram_dosage_snp_major, gram_panel
 
     force_float = dtype is not None
     if dtype is None:
@@ -188,11 +221,13 @@ def grm_from_bed(
     dt = jnp.dtype(dtype)
     streamer = BedShardStreamer(prefix, block_cols=block_cols, prefetch=prefetch)
     K = None
-    shards = streamer if force_float else streamer.iter_dosage()
+    shards = streamer if force_float else streamer.iter_dosage(snp_major=True)
     for _, _, F in shards:
         if F.dtype == np.int8:
-            # dosages are 2x the frequencies: rescale the raw Gram by 1/4.
-            G = gram_dosage(jnp.asarray(F), ploidy=2, center=False)
+            # int8 shards arrive SNP-major (no host transpose — the device
+            # flips them in-program); dosages are 2x the frequencies, so the
+            # raw Gram is rescaled by 1/4.
+            G = gram_dosage_snp_major(jnp.asarray(F), ploidy=2, center=False)
         else:
             G = gram_panel(jnp.asarray(F, dtype=dt), center=False)
         K = G if K is None else K + G
@@ -223,3 +258,52 @@ def gblup_from_bed(
     alpha = cho_solve((L, True), yc)
     gebv = yc - jnp.float32(lam) * alpha + jnp.mean(y)
     return gebv, K
+
+
+def gblup_from_bed_pieces(
+    prefix: Union[str, os.PathLike],
+    y: np.ndarray,
+    lam: float = 0.1,
+    block_cols: int = 32_768,
+    block_rows: int = 4_096,
+    prefetch: int = 2,
+    cg_iters: int = 30,
+) -> Tuple[np.ndarray, float]:
+    """Out-of-core GBLUP at north-star scale (n where the square Gram does
+    not fit HBM): the Gram only ever exists as lower-trapezoid int32 pieces
+    (ops/pieces.py) and the mixed-model solve is matrix-free CG.
+
+    Disk .bed → native snp-major int8 decode (zero host transpose) →
+    donated exact int32 piece syrks → piecewise double-centering → CG.
+    `lam` is on the kinship scale (matches `gblup_from_bed`: λ multiplies
+    mean(diag K)). Requires complete calls (the exact dosage path); panels
+    with missing genotypes should be imputed upstream or use the dense
+    `gblup_from_bed`. Returns (gebv, cg_residual_norm).
+    """
+    import jax.numpy as jnp
+
+    from .ops.pieces import (
+        accumulate_dosage_shard,
+        gblup_from_pieces,
+        make_bounds,
+        zero_pieces,
+    )
+
+    streamer = BedShardStreamer(prefix, block_cols=block_cols, prefetch=prefetch)
+    n = streamer.n
+    bounds = make_bounds(n, block_rows)
+    pieces = zero_pieces(n, bounds)
+    for _, _, F in streamer.iter_dosage(snp_major=True):
+        if F.dtype != np.int8:
+            raise ValueError(
+                f"{prefix}: shard with missing calls — the exact pieces path "
+                "needs complete dosages; impute upstream or use gblup_from_bed"
+            )
+        pieces = accumulate_dosage_shard(
+            pieces, jnp.asarray(F), bounds=bounds, snp_major=True
+        )
+    gebv, resid = gblup_from_pieces(
+        pieces, np.asarray(y, dtype=np.float32), bounds,
+        ploidy=2, lam_rel=float(lam), iters=int(cg_iters),
+    )
+    return np.asarray(gebv, dtype=np.float64), float(resid)

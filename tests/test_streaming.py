@@ -127,3 +127,51 @@ def test_dosage_shard_with_missing_falls_back(tmp_path):
     _, _, S = shards[0]
     assert S.dtype == np.float32  # missing present → imputed float path
     assert np.isfinite(S).all()
+
+
+def test_iter_dosage_snp_major_layout(bed_trio):
+    """snp_major=True yields (cols, n) int8 shards in the .bed native order
+    — identical content, zero host transpose."""
+    prefix, genomes = bed_trio
+    st = BedShardStreamer(prefix, block_cols=128)
+    F = genomes.allele_frequencies
+    for a, b, S in st.iter_dosage(snp_major=True):
+        assert S.dtype == np.int8
+        assert S.shape == (b - a, st.n)
+        assert np.array_equal(S.T, (F[:, a:b] * 2).astype(np.int8))
+
+
+def test_gblup_from_bed_pieces_matches_dense(bed_trio):
+    """The trapezoid-pieces CG path (north-star machinery, ops/pieces.py)
+    must reproduce the dense Cholesky gblup_from_bed on a panel that fits."""
+    from genomicbreedingmodels_tpu.streaming import gblup_from_bed_pieces
+
+    prefix, genomes = bed_trio
+    rng = np.random.default_rng(9)
+    n = len(genomes.entries)
+    y = rng.normal(size=n)
+    gebv_dense, _ = gblup_from_bed(prefix, y, lam=0.1, block_cols=128, dtype="float32")
+    gebv_pieces, resid = gblup_from_bed_pieces(
+        prefix, y, lam=0.1, block_cols=128, block_rows=16, cg_iters=300
+    )
+    assert resid < 1e-3
+    np.testing.assert_allclose(np.asarray(gebv_dense), gebv_pieces, atol=2e-3)
+
+
+def test_gblup_from_bed_pieces_rejects_missing(tmp_path):
+    from genomicbreedingmodels_tpu.streaming import gblup_from_bed_pieces
+
+    rng = np.random.default_rng(3)
+    n, p = 20, 40
+    F = rng.choice([0.0, 0.5, 1.0], size=(n, p))
+    F[0, 0] = np.nan
+    genomes = gbm.Genomes(
+        entries=np.array([f"e{i}" for i in range(n)], dtype=object),
+        populations=np.array(["pop1"] * n, dtype=object),
+        loci_alleles=np.array([f"chr1\t{j+1}\tA|T\tA" for j in range(p)], dtype=object),
+        allele_frequencies=F,
+    )
+    prefix = tmp_path / "miss"
+    gbm.write_bed(genomes, prefix)
+    with pytest.raises(ValueError, match="missing"):
+        gblup_from_bed_pieces(prefix, rng.normal(size=n))
