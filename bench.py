@@ -3,27 +3,32 @@
 Emits one JSON line per metric ({"metric", "value", "unit", "vs_baseline"}).
 The HEADLINE metric — the driver parses the LAST line — is the fused
 GRM+GBLUP step at 8192 x 262144 (same config as round 1, so vs_baseline is
-the ratio to round 1's 21.8 GSNP/s). The supporting metrics cover the rest
-of BASELINE.md's target table:
+the ratio to round 1's 21.8 GSNP/s). The headline runs FIRST and its line is
+re-emitted after every section so the last stdout line is ALWAYS the headline
+JSON (failure/timeout/skip notes go to stderr, never stdout). Supporting
+metrics cover the rest of BASELINE.md's target table:
 
 - north star: GRM+GBLUP at n=50_000 x p=500_000 (BASELINE.md "SNPs/s/chip
   ... at 50k x 500k"). The panel never exists whole anywhere: int8 dosage
-  column shards are generated on device and accumulated into a donated f32
-  (n x n) Gram via the panel-syrk schedule (exact: int32 panel products are
-  integers < 2^24, losslessly representable in f32), then GBLUP solves by
-  matrix-free CG — Cholesky would need a second 10 GB buffer the 16 GB chip
-  does not have.
-- Gibbs sampler marker-updates/s (BayesC, the BGLR replacement).
+  column shards are generated on device (rbg bits — data synthesis, not
+  compute) and folded into donated lower-trapezoid int32 pieces by the
+  MXU-tile-aligned syrk of ops/pieces.py (exact int32 accumulation), then
+  GBLUP solves by matrix-free CG — Cholesky would need a second 10 GB
+  buffer the 16 GB chip does not have. Per-stage timings print to stderr.
+- Gibbs sampler marker-updates/s: BayesC on the grouped 2^K-pattern
+  collapsed kernel (the shipped default) + BRR joint block draws.
 - GWAS-REML markers/s (the reference's O(p n^3) hot spot, rotated).
 - cvbulk wall-clock: replicated k-fold CV via the batched fold-sharded
-  engine (reference scheduler: src/cross_validation.jl:151-206).
+  engine (reference scheduler: src/cross_validation.jl:151-206), now
+  including lasso folds.
+- optional GBM_BENCH_DISK=1: the at-size disk-streamed GBLUP
+  (gblup_from_bed_pieces on a 50k x 500k .bed; needs the ~6.25 GB panel at
+  $GBM_BENCH_BED or /tmp/big_panel.bed).
 
-Kernel notes for the 8192 headline: called-genotype diploid panels (dosages
-{0,1,2} — what PLINK .bed decodes to) run the int8 dosage path
-(ops/grm.py:gram_dosage): column-panel syrk with int8 operands and EXACT
-int32 MXU accumulation. GBM_BENCH_BF16=1 switches to the continuous-panel
-bf16 syrk (ops/grm.py:gram_panel); GBM_BENCH_PALLAS=1 to the triangular
-Pallas kernel (ops/pallas_kernels.py).
+Budgeting: the whole suite must finish inside the driver's wall-clock.
+GBM_BENCH_BUDGET (seconds, default 540) is enforced between sections: a
+section whose floor estimate exceeds the remaining budget is SKIPPED with a
+stderr note, lowest-priority first (priority order = list order below).
 
 Environment notes: under the axon TPU tunnel block_until_ready does not
 synchronize — timing uses scalar readbacks; medians over repeats absorb the
@@ -32,6 +37,7 @@ tunnel's multi-10ms latency spikes.
 
 import json
 import os
+import sys
 import time
 
 R1_HEADLINE = 21_797_153_163.4  # round-1 BENCH value, same 8192x262144 config
@@ -65,8 +71,12 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float = 1.0) -> None
     )
 
 
+def note(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
 # ---------------------------------------------------------------------------
-# North star: 50k x 500k GRM + GBLUP, streamed int8 shards + CG
+# North star: 50k x 500k GRM + GBLUP, streamed int8 shards + pieces CG
 # ---------------------------------------------------------------------------
 
 
@@ -75,139 +85,100 @@ def bench_northstar(on_tpu: bool) -> None:
     import jax.numpy as jnp
     from functools import partial
 
+    from genomicbreedingmodels_tpu.ops.pieces import (
+        accumulate_dosage_shard, center_scale_pieces, cg_solve_pieces,
+        make_bounds, zero_pieces,
+    )
+
     if on_tpu:
-        n, p_shard, n_shards, rng_chunks = 50_000, 31_250, 16, 5
+        n, p_shard, n_shards, rng_chunks = 50_000, 62_500, 8, 10
     else:
         n, p_shard, n_shards, rng_chunks = 1_024, 2_048, 2, 2
     p = p_shard * n_shards
-    nb = max(1, n // 2048)  # ~2048-row panels
-    b = -(-n // nb)
+    bounds = make_bounds(n, 4096)
 
-    # Memory plan for the 16 GB chip: the Gram is stored as nb BLOCK-COLUMN
-    # TRAPEZOID PIECES (piece j = rows j*b.., cols j*b..(j+1)*b — the lower
-    # triangle only, ~5.4 GB at n=50k vs 10 GB square, 20 GB with the
-    # defensive copy XLA inserts for an in-place slice-update of a donated
-    # square buffer). Each shard update is then a pure elementwise add per
-    # piece, which donation aliases cleanly. The int8 shard is 1.6 GB; its
-    # RNG runs in chunks because jax.random materializes 4-byte random bits
-    # per element (an unchunked 50k x 31k draw needs a 6.25 GB uint32 temp).
-    bounds = []
-    lo = 0
-    while lo < n:
-        bounds.append((lo, min(lo + b, n)))
-        lo = min(lo + b, n)
-
+    # Shard synthesis: rbg random bits (cheap on TPU; threefry costs ~1.6 s
+    # of pure RNG at this size — measured, see docs/design.md). The shard is
+    # drawn in chunks because jax.random materializes 4-byte random bits per
+    # element. Data values do not affect syrk timing.
     @partial(jax.jit, donate_argnums=(0,))
-    def accumulate_shard(pieces, key):
+    def add_shard(pieces, key):
         ck = jax.random.split(key, rng_chunks)
         cw = p_shard // rng_chunks
         D = jnp.concatenate(
-            [jax.random.randint(ck[c], (n, cw), 0, 3, dtype=jnp.int8) for c in range(rng_chunks)],
+            [jax.random.randint(ck[c], (n, cw), 0, 3, dtype=jnp.int8)
+             for c in range(rng_chunks)],
             axis=1,
         )
-        # Panel products are int32-exact and < 2^24, so the f32 accumulation
-        # across shards is lossless.
-        out = []
-        for (lo, hi), piece in zip(bounds, pieces):
-            panel = jnp.dot(D[lo:], D[lo:hi].T, preferred_element_type=jnp.int32)
-            out.append(piece + panel.astype(jnp.float32))
-        return out
+        return accumulate_dosage_shard(pieces, D, bounds=bounds, snp_major=False)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def center_scale_pieces(pieces):
-        # Double-centering from the trapezoid pieces: full row means =
-        # rowsum + colsum - diag of the lower triangle (see ops/grm.py:
-        # center_gram_lower). Each piece's diagonal block is masked to its
-        # lower half first (the panel GEMM computed the full block).
-        pieces = [
-            jnp.concatenate(
-                [jnp.tril(piece[: hi - lo]), piece[hi - lo :]], axis=0
-            )
-            / jnp.float32(4.0)  # ploidy^2
-            for (lo, hi), piece in zip(bounds, pieces)
-        ]
-        rs = jnp.zeros(n, jnp.float32)
-        cs = jnp.zeros(n, jnp.float32)
-        dg = jnp.zeros(n, jnp.float32)
-        for (lo, hi), piece in zip(bounds, pieces):
-            rs = rs.at[lo:].add(jnp.sum(piece, axis=1))
-            cs = cs.at[lo:hi].add(jnp.sum(piece, axis=0))
-            dg = dg.at[lo:hi].set(jnp.diagonal(piece[: hi - lo]))
-        rm = (rs + cs - dg) / n
-        gm = jnp.mean(rm)
-        out = []
-        for (lo, hi), piece in zip(bounds, pieces):
-            # The upper half of the diagonal block must STAY exactly zero
-            # (the CG matvec multiplies the full piece), so the centering
-            # correction is masked to the lower trapezoid.
-            corr = rm[lo:, None] + rm[None, lo:hi] - gm
-            w = hi - lo
-            mask = jnp.concatenate(
-                [jnp.tril(jnp.ones((w, w), jnp.float32)), jnp.ones((n - hi, w), jnp.float32)],
-                axis=0,
-            )
-            out.append(piece - corr * mask)
-        return out
+    keys = jax.random.split(jax.random.key(7, impl="rbg"), n_shards + 1)
+    y = jax.random.normal(jax.random.PRNGKey(3), (n,), dtype=jnp.float32)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def gblup_cg_pieces(pieces, y, iters=30):
-        # CG on K = L + L^T - diag(L) straight from the pieces: per matvec,
-        # piece j contributes its block-column (lower, incl. diagonal block)
-        # and the mirror of its strictly-below-diagonal part.
-        yc = y - jnp.mean(y)
-        dg = jnp.concatenate(
-            [jnp.diagonal(piece[: hi - lo]) for (lo, hi), piece in zip(bounds, pieces)]
-        )
-        lam = 1e-3 * jnp.sum(dg) / n
-
-        def mv(v):
-            # K v with K = L + L^T - diag(L): piece j contributes its block
-            # column of L (rows lo..n) and, transposed, its block row of L^T
-            # (covering both the within-diagonal-block upper entries and the
-            # cross-block mirror); the diagonal, counted twice, is removed.
-            out = lam * v - dg * v
-            for (lo, hi), piece in zip(bounds, pieces):
-                out = out.at[lo:].add(piece @ v[lo:hi])
-                out = out.at[lo:hi].add(piece.T @ v[lo:])
-            return out
-
-        def loop_body(i, st):
-            x, r, pvec, rs = st
-            Ap = mv(pvec)
-            alpha = rs / (pvec @ Ap)
-            x = x + alpha * pvec
-            r = r - alpha * Ap
-            rs_new = r @ r
-            pvec = r + (rs_new / rs) * pvec
-            return (x, r, pvec, rs_new)
-
-        x, r, _, _ = jax.lax.fori_loop(
-            0, iters, loop_body, (jnp.zeros_like(yc), yc, yc, yc @ yc)
-        )
-        # GEBV = K alpha; K alpha = (A - lam I) alpha = yc - lam x
-        return yc - lam * x + jnp.mean(y), jnp.sqrt(r @ r)
-
-    keys = jax.random.split(jax.random.PRNGKey(7), n_shards + 1)
-    y = jax.random.normal(keys[-1], (n,), dtype=jnp.float32)
-
-    def run():
+    def run(report_stages=False):
         t0 = time.perf_counter()
-        pieces = [jnp.zeros((n - lo, hi - lo), jnp.float32) for lo, hi in bounds]
+        pieces = zero_pieces(n, bounds)
         for s in range(n_shards):
-            pieces = accumulate_shard(pieces, keys[s])
-        pieces = center_scale_pieces(pieces)
-        gebv, resid = gblup_cg_pieces(pieces, y, iters=30)
+            pieces = add_shard(pieces, keys[s])
+        if report_stages:
+            _sync(pieces[0])
+            t1 = time.perf_counter()
+        pieces = center_scale_pieces(pieces, jnp.float32(4.0), bounds=bounds)
+        if report_stages:
+            _sync(pieces[0])
+            t2 = time.perf_counter()
+        gebv, resid = cg_solve_pieces(
+            pieces, y, jnp.float32(1e-3), bounds=bounds, iters=30
+        )
         res = _sync(resid)
         _sync(gebv)
-        return time.perf_counter() - t0, res
+        t3 = time.perf_counter()
+        if report_stages:
+            note(
+                f"# northstar stages: rng+syrk={t1 - t0:.2f}s "
+                f"center={t2 - t1:.2f}s cg={t3 - t2:.2f}s"
+            )
+        return t3 - t0, res
 
     run()  # compile warmup (donated buffers are rebuilt fresh each run)
+    run(report_stages=True)  # stage breakdown (syncs between stages)
     dt, res = run()
     snps_per_s = n * p / dt
     emit(
-        f"north-star GRM+GBLUP SNPs/s/chip (n={n}, p={p}, streamed int8 shards + CG"
-        f", resid={res:.1e})",
+        f"north-star GRM+GBLUP SNPs/s/chip (n={n}, p={p}, streamed int8 "
+        f"shards, pieces syrk + CG, resid={res:.1e})",
         snps_per_s,
+        "SNPs/s",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optional: at-size disk-streamed GBLUP (GBM_BENCH_DISK=1)
+# ---------------------------------------------------------------------------
+
+
+def bench_diskstream(on_tpu: bool) -> None:
+    import numpy as np
+
+    from genomicbreedingmodels_tpu.streaming import BedShardStreamer, gblup_from_bed_pieces
+
+    prefix = os.environ.get("GBM_BENCH_BED", "/tmp/big_panel")
+    if not os.path.exists(prefix + ".bed"):
+        note(f"# diskstream skipped: {prefix}.bed not found")
+        return
+    st = BedShardStreamer(prefix, block_cols=31_250)
+    n, p = st.n, st.p
+    y = np.random.default_rng(0).normal(size=n).astype(np.float32)
+    t0 = time.perf_counter()
+    gebv, resid = gblup_from_bed_pieces(
+        prefix, y, lam=0.1, block_cols=31_250, cg_iters=30
+    )
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(gebv))
+    emit(
+        f"disk-streamed GRM+GBLUP SNPs/s/chip (n={n}, p={p}, .bed -> native "
+        f"int8 decode -> pieces CG, cold, resid={resid:.1e})",
+        n * p / dt,
         "SNPs/s",
     )
 
@@ -222,23 +193,24 @@ def bench_sampler(on_tpu: bool) -> None:
     from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
 
     if on_tpu:
-        n, p, n_iter, n_burnin = 2_048, 32_768, 250, 50
+        n, p, n_iter, n_burnin = 2_048, 32_768, 150, 30
     else:
         n, p, n_iter, n_burnin = 128, 1_024, 60, 10
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, p)).astype(np.float32)
     y = rng.normal(size=n).astype(np.float32)
     for model, label in (
-        ("BayesC", "scalar-scan"),  # indicator prior: exact sequential scan
+        ("BayesC", "grouped 2^K-pattern collapsed draw"),  # shipped default
         ("BRR", "joint block draw"),  # continuous prior: one Cholesky per block
     ):
-        # warmup/compile on a short chain with identical shapes
-        gibbs_regression(X, y, model=model, n_iter=2, n_burnin=1, seed=1)
+        # n_iter is a jit static: the warmup must run the EXACT config or the
+        # timed call pays the compile (round-2 numbers did — understated).
+        gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
         t0 = time.perf_counter()
         gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
         dt = time.perf_counter() - t0
         emit(
-            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label})",
+            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label}, warm)",
             n_iter * p / dt,
             "updates/s",
         )
@@ -295,9 +267,10 @@ def bench_cv(on_tpu: bool) -> None:
     from genomicbreedingmodels_tpu.cv.batched import cvbulk_batched
 
     if on_tpu:
-        n, p, n_replications, n_folds = 2_048, 32_768, 5, 5
+        n, p, n_replications, n_folds = 2_048, 32_768, 3, 5
     else:
         n, p, n_replications, n_folds = 128, 1_024, 2, 3
+    models = ("ridge", "gblup", "lasso")
     rng = np.random.default_rng(11)
     freq = rng.uniform(size=(n, p))
     genomes = gbm.Genomes(
@@ -316,19 +289,19 @@ def bench_cv(on_tpu: bool) -> None:
         phenotypes=yy[:, None],
     )
     cvbulk_batched(  # compile warmup (fold-mask shapes match the timed run)
-        genomes, phenomes, models=("ridge", "gblup"),
+        genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,
     )
     t0 = time.perf_counter()
     cvs, notes = cvbulk_batched(
-        genomes, phenomes, models=("ridge", "gblup"),
+        genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,
     )
     dt = time.perf_counter() - t0
-    assert len(cvs) >= n_replications * n_folds
+    assert len(cvs) >= n_replications * n_folds * len(models)
     emit(
         f"cvbulk wall-clock (n={n}, p={p}, {n_replications}x{n_folds} folds x "
-        f"2 models = {len(cvs)} fits, batched, warm)",
+        f"{len(models)} models = {len(cvs)} fits, batched, warm)",
         dt,
         "s",
     )
@@ -407,28 +380,53 @@ def bench_headline(on_tpu: bool) -> None:
 
     dt = _median_time(lambda: _sync(fused_step(X, y)))
     snps_per_s = n * p / dt
+    # Non-default kernel variants (pallas / bf16) have no round-1 number on
+    # the same kernel: vs_baseline stays 1.0 rather than mixing kernels.
     emit(
         f"GRM+GBLUP SNPs/s/chip (n={n}, p={p}, "
-        + ("pallas int8" if use_pallas else ("bf16" if use_bf16 else "int8 dosage"))
+        + ("pallas int8" if use_pallas else "bf16")
         + ")",
         snps_per_s,
         "SNPs/s",
-        vs_baseline=(snps_per_s / R1_HEADLINE) if on_tpu else 1.0,
+        vs_baseline=1.0,
     )
 
 
 SECTIONS = {
+    "headline": bench_headline,
     "northstar": bench_northstar,
     "sampler": bench_sampler,
     "gwas": bench_gwas,
     "cv": bench_cv,
-    "headline": bench_headline,
+    "diskstream": bench_diskstream,
 }
+
+# Minimum seconds a section realistically needs (compile + run through the
+# tunnel); used by the budget guard to decide skips. Priority = dict order of
+# SECTIONS (headline always runs).
+SECTION_FLOOR = {
+    "headline": 0,
+    "northstar": 90,
+    "sampler": 110,
+    "gwas": 70,
+    "cv": 100,
+    "diskstream": 120,
+}
+SECTION_CAP = 600  # hard per-section subprocess timeout ceiling
 
 
 def _run_section(name: str) -> None:
     import jax
 
+    # Persistent compilation cache: the big sampler/CV programs take minutes
+    # to compile through the tunnel but hit this cache across processes
+    # (measured 23.8 s -> 1.2 s on a 4-GEMM probe), so a bench run on a
+    # machine that has compiled these shapes before pays none of it.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GBM_JAX_CACHE", "/tmp/gbm_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if os.environ.get("GBM_BENCH_FORCE_CPU", "0") == "1":
         # The site config pins jax_platforms=axon,cpu; the env var alone
         # does not override it (see tests/conftest.py).
@@ -439,7 +437,9 @@ def _run_section(name: str) -> None:
 
 def main() -> None:
     import subprocess
-    import sys
+
+    budget = float(os.environ.get("GBM_BENCH_BUDGET", "540"))
+    t_start = time.perf_counter()
 
     # Each section runs in its OWN subprocess: an OOM (or a wedged tunnel
     # device) in one section must not poison the others' HBM — observed: a
@@ -447,16 +447,28 @@ def main() -> None:
     # subsequent call in the same process, down to a scalar PRNGKey.
     #
     # The HEADLINE runs FIRST (so it survives any outer wall-clock kill of
-    # the full ~30 min suite) and its line is RE-EMITTED after every section
-    # so the LAST printed JSON line is always the headline metric.
-    names = ["headline"] if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1" else list(SECTIONS)
-    names = ["headline"] + [n for n in names if n != "headline"]
+    # the full suite) and its line is RE-EMITTED after every section so the
+    # LAST printed JSON line is always the headline metric.
+    if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1":
+        names = ["headline"]
+    else:
+        names = [n for n in SECTIONS if n != "diskstream"]
+        if os.environ.get("GBM_BENCH_DISK", "0") == "1":
+            names.append("diskstream")
     headline_line = None
     for name in names:
+        remaining = budget - (time.perf_counter() - t_start)
+        if name != "headline" and remaining < SECTION_FLOOR[name]:
+            note(
+                f"# bench section {name} SKIPPED: {remaining:.0f}s left of "
+                f"GBM_BENCH_BUDGET={budget:.0f}s < floor {SECTION_FLOOR[name]}s"
+            )
+            continue
+        timeout_s = SECTION_CAP if name == "headline" else max(60, min(SECTION_CAP, remaining))
         try:
             r = subprocess.run(
                 [sys.executable, __file__, "--section", name],
-                timeout=3000,
+                timeout=timeout_s,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
                 text=True,
@@ -467,16 +479,19 @@ def main() -> None:
             if name == "headline" and out:
                 headline_line = out.splitlines()[-1]
             if r.returncode != 0:
-                print(f"# bench section {name} failed: exit {r.returncode}", flush=True)
+                note(f"# bench section {name} failed: exit {r.returncode}")
         except subprocess.TimeoutExpired:
-            print(f"# bench section {name} timed out", flush=True)
+            note(f"# bench section {name} timed out after {timeout_s:.0f}s")
         if name != "headline" and headline_line:
             print(headline_line, flush=True)
+    if headline_line is None:
+        # The parse contract promises the last stdout line is the headline
+        # JSON; if the headline subprocess itself died, say so in-band with a
+        # sentinel metric rather than leaving a section metric last.
+        emit("GRM+GBLUP SNPs/s/chip (headline FAILED; see stderr)", 0.0, "SNPs/s", 0.0)
 
 
 if __name__ == "__main__":
-    import sys
-
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         _run_section(sys.argv[2])
     else:

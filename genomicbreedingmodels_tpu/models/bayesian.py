@@ -179,8 +179,85 @@ def _gibbs_chain(
     # Grouped pattern draw is gated to BayesB/C (the BGLR flagship indicator
     # models); BLπ/BayesTπ keep the scalar scan (see module docstring).
     grouped = group_size > 1 and model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
+    if grouped:
+        K_g = group_size
+        gpb = bs // K_g
+        n_pat = 1 << K_g
+        patterns = jnp.asarray(
+            ((np.arange(n_pat)[:, None] >> np.arange(K_g)[None, :]) & 1).astype(np.float32)
+        )
+        # Sweep-level HOISTING of the per-(group, pattern) Cholesky batch:
+        # s2 / σ²ₑ / π are constant across the whole block scan of one sweep
+        # (they update in steps 3-5 AFTER it), so every group's 2^K pattern
+        # precisions P(γ) = (C_gg ⊙ γγᵀ)/σ²ₑ + diag(γ/s² + (1−γ)) can be
+        # factorized ONCE per sweep as one big batched computation instead of
+        # inside each sequential group step — the group step then shrinks to
+        # a quadratic-form einsum + Gumbel-argmax + two K-vector matvecs
+        # (~2.3x fewer fused kernels per step, the scan's binding cost).
+        # Gated by table size: Q and L⁻¹ are (p/K)·2^K·K² floats each.
+        hoist_groups = (
+            not pallas_groups
+            and (p_pad // K_g) * n_pat * K_g * K_g <= int(1.5e8)
+        )
+    else:
+        hoist_groups = False
 
-    def block_step(carry, gb):
+    def _build_group_tables(s2, sig_e2, pi_in):
+        """(Qmask, W, const) for every (block, group, pattern), batched.
+
+        Qmask = pattern-masked P⁻¹ (zero rows/cols at excluded coords), W =
+        L⁻¹ of the masked precision's Cholesky (identity at excluded coords
+        — no fill-in across the decoupled index sets), const = the
+        v-independent part of the pattern log-weight: prior inclusion terms
+        − ½Σ_γ log s² − ½log|P| − the padding penalty. The group step then
+        scores patterns as const + ½ vᵀQmask v (equal to the bordered-
+        elimination weight of the in-step path, in different rounding).
+        """
+        C5 = C.reshape(n_blocks, gpb, K_g, gpb, K_g)
+        C_gg = jnp.einsum("bgkgl->bgkl", C5)  # per-group diagonal blocks
+        s2g = s2.reshape(n_blocks, gpb, K_g)
+        valg = valid.reshape(n_blocks, gpb, K_g)
+        M = patterns[None, None] * valg[:, :, None, :]  # (B, g, P, K)
+        diag_vals = jnp.where(M > 0, 1.0 / jnp.maximum(s2g[:, :, None, :], 1e-12), 1.0)
+        Pm = (C_gg / sig_e2)[:, :, None] * M[..., :, None] * M[..., None, :] + (
+            jnp.eye(K_g) * diag_vals[..., None]
+        )
+        # Unrolled batched Cholesky (same elimination as the in-step path).
+        row_mask = jnp.tril(jnp.ones((K_g, K_g), jnp.float32))
+        acc = Pm
+        half_logdet = jnp.zeros(Pm.shape[:-2])
+        cols = []
+        for j in range(K_g):
+            dj = jnp.maximum(acc[..., j, j], 1e-30)
+            half_logdet = half_logdet + 0.5 * jnp.log(dj)
+            col = acc[..., :, j] * jax.lax.rsqrt(dj)[..., None]
+            col = col * row_mask[:, j]
+            acc = acc - col[..., :, None] * col[..., None, :]
+            cols.append(col)
+        L = jnp.stack(cols, axis=-1)  # (B, g, P, K, K) lower
+        # W = L⁻¹ by row-wise forward substitution (K unrolled steps).
+        rows = []
+        for i in range(K_g):
+            e_i = jnp.zeros((K_g,)).at[i].set(1.0)
+            accr = e_i
+            for j in range(i):
+                accr = accr - L[..., i, j, None] * rows[j]
+            rows.append(accr / L[..., i, i, None])
+        W = jnp.stack(rows, axis=-2)  # (B, g, P, K, K) = L⁻¹
+        Q = jnp.einsum("...ki,...kj->...ij", W, W)  # P⁻¹ = L⁻ᵀL⁻¹
+        Qmask = Q * M[..., :, None] * M[..., None, :]
+        log_pi = jnp.log(pi_in)
+        log_1mpi = jnp.log1p(-pi_in)
+        const = (
+            jnp.sum(M, -1) * log_pi
+            + jnp.sum(valg[:, :, None, :] * (1.0 - patterns)[None, None], -1) * log_1mpi
+            - 0.5 * jnp.sum(jnp.where(M > 0, jnp.log(s2g)[:, :, None, :], 0.0), -1)
+            - half_logdet
+            - 1e30 * jnp.sum(patterns[None, None] * (1.0 - valg[:, :, None, :]), -1)
+        )
+        return Qmask, W, const
+
+    def block_step(carry, gb, tables=None):
         b, r, s2, sig_e2, pi_in, incl_acc, key = carry
         key, k_blk = jax.random.split(key)
         if axis_name is not None:
@@ -248,16 +325,71 @@ def _gibbs_chain(
             # latency (~50-60 us per tiny group step). See ops/pallas_gibbs.py.
             from ..ops.pallas_gibbs import grouped_block_update
 
-            K_g = group_size
-            n_groups = bs // K_g
             gum = -jnp.log(-jnp.log(jax.random.uniform(
-                k2, (n_groups, 1 << K_g), minval=1e-12, maxval=1.0 - 1e-7
+                k2, (gpb, n_pat), minval=1e-12, maxval=1.0 - 1e-7
             )))
             delta, b_blk_new, incl_f = grouped_block_update(
                 Cb, u, b_blk, s2_blk, val_blk, normals, gum, sig_e2, pi_in,
                 K=K_g, interpret=jax.default_backend() == "cpu",
             )
             incl = incl_f > 0
+        elif grouped and tables is not None:
+            # Hoisted grouped draw: the per-pattern Choleskys were factorized
+            # once for the whole sweep (_build_group_tables); each group step
+            # is now just the v-dependent part — quadratic forms against the
+            # precomputed Qmask, Gumbel-max pattern choice, and the K-dim
+            # draw b = Q v_m + L⁻ᵀ η via the precomputed W = L⁻¹. Exactly
+            # the same update law as the in-step elimination branch below.
+            Qmask_all, W_all, const_all = tables
+            Qb = jax.lax.dynamic_slice(
+                Qmask_all, (blk, 0, 0, 0, 0), (1, gpb, n_pat, K_g, K_g)
+            )[0]
+            Wb = jax.lax.dynamic_slice(
+                W_all, (blk, 0, 0, 0, 0), (1, gpb, n_pat, K_g, K_g)
+            )[0]
+            cb = jax.lax.dynamic_slice(const_all, (blk, 0, 0), (1, gpb, n_pat))[0]
+            gum = -jnp.log(-jnp.log(jax.random.uniform(
+                k2, (gpb, n_pat), minval=1e-12, maxval=1.0 - 1e-7
+            )))
+
+            def group_step_h(carry, g):
+                cdelta, delta, b_blk = carry
+                r0 = g * K_g
+                Cb_rows = jax.lax.dynamic_slice(Cb, (r0, 0), (K_g, bs))
+                C_gg = jax.lax.dynamic_slice(Cb_rows, (0, r0), (K_g, K_g))
+                u_cur = (
+                    jax.lax.dynamic_slice(u, (r0,), (K_g,))
+                    - jax.lax.dynamic_slice(cdelta, (r0,), (K_g,))
+                )
+                b_cur = jax.lax.dynamic_slice(b_blk, (r0,), (K_g,))
+                val_g = jax.lax.dynamic_slice(val_blk, (r0,), (K_g,))
+                v = (u_cur + C_gg @ b_cur) / sig_e2
+                Qg = jax.lax.dynamic_slice(
+                    Qb, (g, 0, 0, 0), (1, n_pat, K_g, K_g)
+                )[0]
+                Wg = jax.lax.dynamic_slice(
+                    Wb, (g, 0, 0, 0), (1, n_pat, K_g, K_g)
+                )[0]
+                cg = jax.lax.dynamic_slice(cb, (g, 0), (1, n_pat))[0]
+                quad = jnp.einsum("pkl,k,l->p", Qg, v, v)
+                m_star = jnp.argmax(cg + 0.5 * quad + gum[g])
+                gam = patterns[m_star] * val_g
+                Qsel = Qg[m_star]
+                Wsel = Wg[m_star]
+                eta = jax.lax.dynamic_slice(normals, (r0,), (K_g,))
+                b_acc = Qsel @ v + Wsel.T @ eta
+                b_new = jnp.where(gam > 0, b_acc, 0.0)
+                d = b_new - b_cur
+                cdelta = cdelta + jnp.dot(d, Cb_rows, preferred_element_type=jnp.float32)
+                delta = jax.lax.dynamic_update_slice(delta, d, (r0,))
+                b_blk = jax.lax.dynamic_update_slice(b_blk, b_new, (r0,))
+                return (cdelta, delta, b_blk), gam > 0
+
+            init = (_vary(jnp.zeros(bs)), _vary(jnp.zeros(bs)), b_blk)
+            (cdelta, delta, b_blk_new), incl_g = jax.lax.scan(
+                group_step_h, init, jnp.arange(gpb), unroll=4
+            )
+            incl = incl_g.reshape(bs)
         elif grouped:
             # Exact partially-collapsed draw of (γ_g, b_g), K markers at a
             # time: score all 2^K inclusion patterns with the COLLAPSED
@@ -269,13 +401,9 @@ def _gibbs_chain(
             # sequential scan steps — which is what the scalar path was
             # bound by (per-step dispatch, not FLOPs). Equivalence is tested
             # against the scalar oracle in tests/test_bayesian.py.
-            K_g = group_size
-            n_groups = bs // K_g
-            n_pat = 1 << K_g
-            # All 2^K inclusion patterns; bit j of pattern m is γ_mj.
-            patterns = jnp.asarray(
-                ((np.arange(n_pat)[:, None] >> np.arange(K_g)[None, :]) & 1).astype(np.float32)
-            )
+            # (All 2^K inclusion patterns precomputed at function level;
+            # bit j of pattern m is γ_mj.)
+            n_groups = gpb
             gum = -jnp.log(-jnp.log(jax.random.uniform(
                 k2, (n_groups, n_pat), minval=1e-12, maxval=1.0 - 1e-7
             )))
@@ -436,10 +564,17 @@ def _gibbs_chain(
         else:
             k_scale_local = k_scale
 
-        # 1) Marker effects, blocked-exact Gibbs.
+        # 1) Marker effects, blocked-exact Gibbs. With hoisting, the grouped
+        # pattern tables are factorized once here (s2/σ²ₑ/π are constant
+        # until steps 3-5 below) and every block step reads its slice.
+        if hoist_groups:
+            tables = _build_group_tables(s2, sig_e2, pi_in)
+            body = lambda c, gb: block_step(c, gb, tables)  # noqa: E731
+        else:
+            body = block_step
         incl_acc0 = _vary(jnp.zeros(p_pad))
         (b, r, s2, sig_e2, pi_in, incl_acc, _), _ = jax.lax.scan(
-            block_step, (b, r, s2, sig_e2, pi_in, incl_acc0, k_blks),
+            body, (b, r, s2, sig_e2, pi_in, incl_acc0, k_blks),
             jnp.arange(n_blocks * seq_rounds),
         )
         incl = incl_acc * valid
