@@ -176,8 +176,8 @@ def bench_diskstream(on_tpu: bool) -> None:
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(gebv))
     emit(
-        f"disk-streamed GRM+GBLUP SNPs/s/chip (n={n}, p={p}, .bed -> native "
-        f"int8 decode -> pieces CG, cold, resid={resid:.1e})",
+        f"disk-streamed GRM+GBLUP SNPs/s/chip (n={n}, p={p}, .bed packed 2-bit "
+        f"h2d -> on-device unpack -> pieces CG, resid={resid:.1e})",
         n * p / dt,
         "SNPs/s",
     )
@@ -271,8 +271,10 @@ def bench_cv(on_tpu: bool) -> None:
     else:
         n, p, n_replications, n_folds = 128, 1_024, 2, 3
     models = ("ridge", "gblup", "lasso")
+    t_gen = time.perf_counter()
     rng = np.random.default_rng(11)
-    freq = rng.uniform(size=(n, p))
+    # f32 from the start: halves host RAM AND the ~34 MB/s tunnel h2d cost.
+    freq = rng.uniform(size=(n, p)).astype(np.float32)
     genomes = gbm.Genomes(
         entries=np.array([f"e{i:05d}" for i in range(n)]),
         populations=np.array(["pop_1"] * n),
@@ -288,11 +290,13 @@ def bench_cv(on_tpu: bool) -> None:
         traits=np.array(["t"]),
         phenotypes=yy[:, None],
     )
+    t_warm = time.perf_counter()
     cvbulk_batched(  # compile warmup (fold-mask shapes match the timed run)
         genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,
     )
     t0 = time.perf_counter()
+    note(f"# cv stages: datagen={t_warm - t_gen:.1f}s warmup={t0 - t_warm:.1f}s")
     cvs, notes = cvbulk_batched(
         genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,

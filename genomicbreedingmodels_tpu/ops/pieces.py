@@ -36,6 +36,8 @@ __all__ = [
     "make_bounds",
     "zero_pieces",
     "accumulate_dosage_shard",
+    "accumulate_bed_payload",
+    "unpack_bed_payload",
     "center_scale_pieces",
     "cg_solve_pieces",
     "gblup_from_pieces",
@@ -62,6 +64,15 @@ def zero_pieces(n: int, bounds: Bounds, dtype=jnp.int32) -> List[jnp.ndarray]:
     return [jnp.zeros((n - lo, hi - lo), dtype) for lo, hi in bounds]
 
 
+def _accumulate(pieces, F, bounds: Bounds, snp_major: bool):
+    D = F.T if snp_major else F  # (n, cols)
+    out = []
+    for (lo, hi), piece in zip(bounds, pieces):
+        panel = jnp.dot(D[lo:], D[lo:hi].T, preferred_element_type=jnp.int32)
+        out.append(piece + panel)
+    return out
+
+
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("bounds", "snp_major"))
 def accumulate_dosage_shard(
     pieces: List[jnp.ndarray], F: jnp.ndarray, *, bounds: Bounds, snp_major: bool = True
@@ -72,12 +83,48 @@ def accumulate_dosage_shard(
     snp_major=False for an (n, cols) shard). All panel products accumulate
     in int32 on the MXU: bit-exact for p_total · ploidy² < 2³¹.
     """
-    D = F.T if snp_major else F  # (n, cols)
-    out = []
-    for (lo, hi), piece in zip(bounds, pieces):
-        panel = jnp.dot(D[lo:], D[lo:hi].T, preferred_element_type=jnp.int32)
-        out.append(piece + panel)
-    return out
+    return _accumulate(pieces, F, bounds, snp_major)
+
+
+def unpack_bed_payload(payload: jnp.ndarray, n: int):
+    """Device-side PLINK 2-bit unpack: (cols, ceil(n/4)) uint8 → ((cols, n)
+    int8 dosages with missing mapped to 0, missing-call count).
+
+    Host↔device traffic is the binding constraint for disk-streamed panels
+    (one byte carries FOUR genotypes — shipping decoded int8 dosages costs
+    4x the bytes; through the ~34 MB/s axon tunnel that is the whole
+    wall-clock). The unpack itself is three VPU ops: shift, mask, gather.
+
+    .bed code → dosage: 0b00→0 (hom A1), 0b10→1 (het), 0b11→2 (hom A2);
+    0b01 (missing) maps to dosage 0 and is COUNTED — callers that need exact
+    Grams must check the returned count (an imputed zero would poison the
+    int32 syrk silently otherwise).
+    """
+    cols = payload.shape[0]
+    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
+    codes = (payload[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    codes = codes.reshape(cols, -1)[:, :n]
+    lut = jnp.array([0, 0, 1, 2], dtype=jnp.int8)
+    n_missing = jnp.sum((codes == 1).astype(jnp.int32))
+    return lut[codes], n_missing
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("bounds", "n"))
+def accumulate_bed_payload(
+    pieces: List[jnp.ndarray], payload: jnp.ndarray, miss: jnp.ndarray,
+    *, bounds: Bounds, n: int
+):
+    """pieces += trapezoid syrk of one PACKED .bed shard, unpacked on device.
+
+    Fuses `unpack_bed_payload` with `accumulate_dosage_shard` in one program:
+    the packed bytes are the only host→device transfer (4 genotypes/byte),
+    the int8 dosage shard exists only in HBM, and the syrk accumulates in
+    exact int32. `miss` is a running missing-call counter (checked once by
+    the caller after the last shard). Replaces the reference's in-RAM dense
+    GRM build (src/gwas.jl:117-126) for out-of-core panels.
+    """
+    D, nm = unpack_bed_payload(payload, n)
+    return _accumulate(pieces, D, bounds, True), miss + nm
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("bounds",))

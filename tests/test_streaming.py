@@ -175,3 +175,46 @@ def test_gblup_from_bed_pieces_rejects_missing(tmp_path):
     gbm.write_bed(genomes, prefix)
     with pytest.raises(ValueError, match="missing"):
         gblup_from_bed_pieces(prefix, rng.normal(size=n))
+
+
+def test_unpack_bed_payload_matches_host_decode(bed_trio):
+    """Device-side 2-bit unpack (ops/pieces.py) must agree bit-for-bit with
+    the host int8 decode, including the ragged last byte (n=60 ≡ 0 mod 4
+    here, so also check an n=13 panel with byte padding)."""
+    import jax.numpy as jnp
+
+    from genomicbreedingmodels_tpu.ops.pieces import unpack_bed_payload
+
+    prefix, genomes = bed_trio
+    st = BedShardStreamer(prefix, block_cols=128)
+    for (a, b, payload), (_, _, D) in zip(st.iter_payload(), st.iter_dosage(snp_major=True)):
+        got, miss = unpack_bed_payload(jnp.asarray(payload), st.n)
+        assert int(miss) == 0
+        assert np.array_equal(np.asarray(got), D)
+
+
+def test_unpack_bed_payload_ragged_and_missing(tmp_path):
+    import jax.numpy as jnp
+
+    from genomicbreedingmodels_tpu.ops.pieces import unpack_bed_payload
+
+    rng = np.random.default_rng(5)
+    n, p = 13, 9  # n % 4 != 0: last byte padded
+    F = rng.choice([0.0, 0.5, 1.0], size=(n, p))
+    F[2, 3] = np.nan
+    F[7, 0] = np.nan
+    genomes = gbm.Genomes(
+        entries=np.array([f"e{i}" for i in range(n)], dtype=object),
+        populations=np.array(["pop1"] * n, dtype=object),
+        loci_alleles=np.array([f"chr1\t{j+1}\tA|T\tA" for j in range(p)], dtype=object),
+        allele_frequencies=F,
+    )
+    prefix = tmp_path / "ragged"
+    gbm.write_bed(genomes, prefix)
+    st = BedShardStreamer(prefix, block_cols=p)
+    _, _, payload = next(iter(st.iter_payload()))
+    assert payload.shape == (p, (n + 3) // 4)
+    got, miss = unpack_bed_payload(jnp.asarray(payload), n)
+    assert int(miss) == 2
+    expect = np.nan_to_num(F.T * 2, nan=0.0).astype(np.int8)
+    assert np.array_equal(np.asarray(got), expect)
