@@ -20,8 +20,8 @@ matmul). Two block-update strategies, chosen per model:
   with better mixing than scalar updates, and all MXU work. Measured on TPU
   v5e at n=1024, p=16k, bs=512: 456-838k marker-updates/s vs 124-147k for
   the scalar scan.
-- **Grouped pattern draw** (BayesB / BayesC — the BGLR flagship indicator
-  models): markers advance K at a time (default K=8). Per group the 2^K
+- **Grouped pattern draw** (all indicator models — BayesB / BayesC /
+  BLπ / BayesTπ): markers advance K at a time (default K=8). Per group the 2^K
   inclusion patterns are scored with the COLLAPSED (effect-integrated)
   marginal likelihood — a vmapped batch of 2^K K×K Cholesky factorizations —
   the pattern is sampled exactly by Gumbel-max, and the included effects are
@@ -32,9 +32,9 @@ matmul). Two block-update strategies, chosen per model:
   since correlated indicators move jointly). Sequential dependency drops
   from p scan steps per sweep to p/K, which is what the scalar path was
   bound by (per-step dispatch, not FLOPs).
-- **Sequential scalar scan** (BLπ / BayesTπ — kept for the rarer indicator
-  variants; and BL, whose σ²ₑ-proportional shrinkage feedback diverges
-  under larger joint moves when p > n; also available for BayesB/C via
+- **Sequential scalar scan** (BL only, whose σ²ₑ-proportional shrinkage
+  feedback diverges under the full-block joint draw's larger null-space
+  moves when p > n; also available for every indicator model via
   `indicator_update="scalar"` as the equivalence oracle): the within-block
   pass tracks already-updated markers through C_b rows (length-`block_size`
   VPU axpys — rows, not columns: sublane-direction slices are fast on TPU)
@@ -176,9 +176,14 @@ def _gibbs_chain(
     # unscaled t prior — the per-marker scaled-inv-χ² machinery of BayesA but
     # with the hyper-scale S pinned instead of Gamma-updated.
     fixed_scale = model_id in (_MODEL_IDS["BayesT"], _MODEL_IDS["BayesTPi"])
-    # Grouped pattern draw is gated to BayesB/C (the BGLR flagship indicator
-    # models); BLπ/BayesTπ keep the scalar scan (see module docstring).
-    grouped = group_size > 1 and model_id in (_MODEL_IDS["BayesB"], _MODEL_IDS["BayesC"])
+    # Grouped pattern draw covers every indicator model: the collapsed
+    # pattern weights only consume the per-marker prior variances s2 (which
+    # already encode BayesB's scaled-t draw, BLπ's σ²ₑ·τ², and BayesTπ's
+    # fixed-scale t — all constant across a sweep's marker scan), σ²ₑ, and π,
+    # so BLπ/BayesTπ use the identical machinery as BayesB/C.
+    # (BL's divergence concern is specific to the FULL-block joint draw of
+    # the continuous branch, not the K-marker exact collapsed draw.)
+    grouped = group_size > 1 and has_indicator
     if grouped:
         K_g = group_size
         gpb = bs // K_g
@@ -773,12 +778,14 @@ def gibbs_regression(
 ) -> Tuple[float, np.ndarray, dict]:
     """Run the blocked Gibbs sampler; returns (mu_hat, b_hat, diagnostics).
 
-    `indicator_update` ("auto" default via GBMConfig) selects the BayesB/C
+    `indicator_update` ("auto" default via GBMConfig) selects the indicator
     within-block kernel: "pallas" = the grouped 2^K-pattern collapsed draw as
     one Pallas kernel per block (ops/pallas_gibbs.py), "grouped" = the same
     exact update as an XLA scan, "scalar" = the one-marker-at-a-time scan
     (the equivalence oracle). All target the identical posterior; "auto"
-    picks pallas on accelerators and grouped on CPU.
+    resolves to "grouped" everywhere (the per-pallas_call launch overhead
+    measured through the axon tunnel makes the per-block Pallas kernel a
+    net loss there — see the inline comment at the dispatch site).
 
     `fix_sigma_e2`/`fix_sigma_b2` (both required together) pin the residual
     and marker variances, making the marker-effect posterior exactly Gaussian
@@ -825,7 +832,8 @@ def gibbs_regression(
     pallas_groups = indicator_update == "pallas"
     group_size = (
         int(cfg.mcmc_group_size)
-        if indicator_update in ("grouped", "pallas") and model in ("BayesB", "BayesC")
+        if indicator_update in ("grouped", "pallas")
+        and model in ("BayesB", "BayesC", "BLPi", "BayesTPi")
         else 0
     )
     X = np.asarray(X, dtype=np.float32)

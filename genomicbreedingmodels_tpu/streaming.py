@@ -292,9 +292,13 @@ def gblup_from_bed_pieces(
     dosages) → fused on-device unpack + exact int32 piece syrk (donated) →
     piecewise double-centering → CG. `lam` is on the kinship scale (matches
     `gblup_from_bed`: λ multiplies mean(diag K)). Requires complete calls
-    (the exact dosage path) — missing calls are COUNTED on device and
-    rejected after the stream; impute upstream or use the dense
-    `gblup_from_bed`. Returns (gebv, cg_residual_norm).
+    (the exact dosage path) — missing calls are COUNTED on device and the
+    stream FAILS FAST: the counter is synced to host after the first shard
+    and every 8th shard thereafter (one scalar readback each — negligible
+    vs the shard syrk), so a dirty north-star panel is rejected within ~8
+    shards instead of after the full multi-GB stream + syrk cost. Impute
+    upstream or use the dense `gblup_from_bed`.
+    Returns (gebv, cg_residual_norm).
     """
     import jax.numpy as jnp
 
@@ -310,15 +314,25 @@ def gblup_from_bed_pieces(
     bounds = make_bounds(n, block_rows)
     pieces = zero_pieces(n, bounds)
     miss = jnp.zeros((), jnp.int32)
-    for _, _, payload in streamer.iter_payload():
+
+    def _reject(miss_count: int) -> None:
+        raise ValueError(
+            f"{prefix}: {miss_count} missing calls — the exact pieces path "
+            "needs complete dosages; impute upstream or use gblup_from_bed"
+        )
+
+    for k, (_, _, payload) in enumerate(streamer.iter_payload()):
         pieces, miss = accumulate_bed_payload(
             pieces, jnp.asarray(payload), miss, bounds=bounds, n=n
         )
+        # Fail fast on dirty panels: sync the device miss counter after the
+        # first shard (catches systematic missingness immediately) and every
+        # 8th shard after that. Each sync is one scalar readback.
+        if k == 0 or k % 8 == 7:
+            if int(miss) > 0:
+                _reject(int(miss))
     if int(miss) > 0:
-        raise ValueError(
-            f"{prefix}: {int(miss)} missing calls — the exact pieces path "
-            "needs complete dosages; impute upstream or use gblup_from_bed"
-        )
+        _reject(int(miss))
     gebv, resid = gblup_from_pieces(
         pieces, np.asarray(y, dtype=np.float32), bounds,
         ploidy=2, lam_rel=float(lam), iters=int(cg_iters),

@@ -25,7 +25,9 @@ def parse_metrics(paths):
         try:  # driver artifact: JSON object wrapping the stdout
             obj = json.loads(text)
             if isinstance(obj, dict):
-                lines = str(obj.get("output") or obj.get("stdout") or "").splitlines()
+                lines = str(
+                    obj.get("output") or obj.get("stdout") or obj.get("tail") or ""
+                ).splitlines()
                 if "metric" in obj:
                     lines.append(json.dumps(obj))
         except json.JSONDecodeError:
@@ -63,13 +65,16 @@ def main():
     rows = "\n".join(f"| {name} | {fmt(m)} |" for name, m in sorted(metrics.items()))
     table = f"| benchmark (bench.py metric) | result |\n|---|---|\n{rows}"
     text = README.read_text()
-    new = re.sub(
-        r"(<!-- bench:begin -->\n).*?(\n<!-- bench:end -->)",
-        lambda mo: mo.group(1) + table + mo.group(2),
+    # Match the markers regardless of what sits between them (including the
+    # adjacent-lines empty case); re.subn so a zero-match run is a hard error
+    # instead of a silent no-op success message.
+    new, count = re.subn(
+        r"<!-- bench:begin -->.*?<!-- bench:end -->",
+        lambda _mo: f"<!-- bench:begin -->\n{table}\n<!-- bench:end -->",
         text,
         flags=re.S,
     )
-    if new == text and "<!-- bench:begin -->" not in text:
+    if count == 0:
         sys.exit("README.md has no <!-- bench:begin/end --> markers")
     README.write_text(new)
     print(f"README.md: wrote {len(metrics)} artifact-derived rows")

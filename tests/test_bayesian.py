@@ -202,7 +202,7 @@ def test_segmented_chain_is_bit_identical_and_resumable(tmp_path):
     np.testing.assert_allclose(b1, b3, atol=1e-6)
 
 
-@pytest.mark.parametrize("model", ["BayesC", "BayesB"])
+@pytest.mark.parametrize("model", ["BayesC", "BayesB", "BLPi", "BayesTPi"])
 def test_grouped_indicator_matches_scalar_oracle(model):
     """The grouped 2^K-pattern collapsed draw (VERDICT r2 item 2) targets the
     IDENTICAL posterior as the one-marker-at-a-time scalar scan — check
