@@ -21,9 +21,11 @@ metrics cover the rest of BASELINE.md's target table:
 - cvbulk wall-clock: replicated k-fold CV via the batched fold-sharded
   engine (reference scheduler: src/cross_validation.jl:151-206), now
   including lasso folds.
-- optional GBM_BENCH_DISK=1: the at-size disk-streamed GBLUP
-  (gblup_from_bed_pieces on a 50k x 500k .bed; needs the ~6.25 GB panel at
-  $GBM_BENCH_BED or /tmp/big_panel.bed).
+- disk-streamed GBLUP (DEFAULT-ON; GBM_BENCH_DISK=0 disables):
+  gblup_from_bed_pieces on a 25k x 250k auto-generated .bed (cached in
+  /tmp), or the panel at $GBM_BENCH_BED (e.g. the 50k x 500k trio from
+  scripts/make_big_bed.py) when set. Stage notes split host IO from
+  h2d+syrk.
 
 Budgeting: the whole suite must finish inside the driver's wall-clock.
 GBM_BENCH_BUDGET (seconds, default 540) is enforced between sections: a
@@ -158,23 +160,54 @@ def bench_northstar(on_tpu: bool) -> None:
 
 
 def bench_diskstream(on_tpu: bool) -> None:
+    """At-size disk-streamed GBLUP — runs by DEFAULT (GBM_BENCH_DISK=0 to
+    disable). If $GBM_BENCH_BED names an existing trio (e.g. the 50k x 500k
+    panel of scripts/make_big_bed.py) it is used; otherwise a 25k x 250k
+    panel (1.56 GB packed payload; chosen so generation + one streamed pass
+    fit the 540 s budget alongside the other sections — 50k x 500k is 4x
+    the h2d bytes and does not) is generated once to /tmp and cached."""
     import numpy as np
 
     from genomicbreedingmodels_tpu.streaming import BedShardStreamer, gblup_from_bed_pieces
 
-    prefix = os.environ.get("GBM_BENCH_BED", "/tmp/big_panel")
-    if not os.path.exists(prefix + ".bed"):
-        note(f"# diskstream skipped: {prefix}.bed not found")
-        return
-    st = BedShardStreamer(prefix, block_cols=31_250)
+    prefix = os.environ.get("GBM_BENCH_BED", "")
+    if not (prefix and os.path.exists(prefix + ".bed")):
+        n_gen, p_gen = (25_000, 250_000) if on_tpu else (512, 4_096)
+        prefix = f"/tmp/gbm_disk_panel_{n_gen}x{p_gen}"
+        t0 = time.perf_counter()
+        expect = 3 + ((n_gen + 3) // 4) * p_gen
+        if not (os.path.exists(prefix + ".bed")
+                and os.path.getsize(prefix + ".bed") == expect):
+            from genomicbreedingmodels_tpu.io import write_random_bed
+
+            write_random_bed(prefix, n_gen, p_gen)
+            note(f"# diskstream: generated {prefix}.bed "
+                 f"({expect / 1e9:.2f} GB) in {time.perf_counter() - t0:.1f}s")
+    block_cols = 31_250 if on_tpu else 1_024
+    st = BedShardStreamer(prefix, block_cols=block_cols)
     n, p = st.n, st.p
+    # Host-side-only sweep (disk read + prefetch thread, no device work):
+    # isolates the disk/decode stage so the full-pipeline number can be
+    # attributed between host IO and h2d+syrk below.
+    t0 = time.perf_counter()
+    host_bytes = 0
+    for _, _, payload in st.iter_payload():
+        host_bytes += payload.nbytes
+    t_host = time.perf_counter() - t0
     y = np.random.default_rng(0).normal(size=n).astype(np.float32)
     t0 = time.perf_counter()
     gebv, resid = gblup_from_bed_pieces(
-        prefix, y, lam=0.1, block_cols=31_250, cg_iters=30
+        prefix, y, lam=0.1, block_cols=block_cols, cg_iters=30
     )
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(gebv))
+    note(
+        f"# diskstream stages: disk+prefetch-only pass={t_host:.1f}s "
+        f"({host_bytes / 1e9:.2f} GB packed @ {host_bytes / 1e9 / t_host:.2f} GB/s); "
+        f"full pipeline={dt:.1f}s ⇒ h2d+unpack+syrk+cg ≈ {dt - t_host:.1f}s "
+        f"(effective h2d {host_bytes / 1e9 / max(dt - t_host, 1e-9) * 1e3:.0f} MB/s; "
+        "read/decode overlap device work via the prefetch thread)"
+    )
     emit(
         f"disk-streamed GRM+GBLUP SNPs/s/chip (n={n}, p={p}, .bed packed 2-bit "
         f"h2d -> on-device unpack -> pieces CG, resid={resid:.1e})",
@@ -401,8 +434,8 @@ SECTIONS = {
     "northstar": bench_northstar,
     "sampler": bench_sampler,
     "gwas": bench_gwas,
-    "cv": bench_cv,
     "diskstream": bench_diskstream,
+    "cv": bench_cv,
 }
 
 # Minimum seconds a section realistically needs (compile + run through the
@@ -413,8 +446,8 @@ SECTION_FLOOR = {
     "northstar": 90,
     "sampler": 110,
     "gwas": 70,
+    "diskstream": 130,
     "cv": 100,
-    "diskstream": 120,
 }
 SECTION_CAP = 600  # hard per-section subprocess timeout ceiling
 
@@ -456,9 +489,9 @@ def main() -> None:
     if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1":
         names = ["headline"]
     else:
-        names = [n for n in SECTIONS if n != "diskstream"]
-        if os.environ.get("GBM_BENCH_DISK", "0") == "1":
-            names.append("diskstream")
+        names = list(SECTIONS)
+        if os.environ.get("GBM_BENCH_DISK", "1") == "0":
+            names.remove("diskstream")
     headline_line = None
     for name in names:
         remaining = budget - (time.perf_counter() - t_start)

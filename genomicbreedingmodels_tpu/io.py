@@ -36,6 +36,7 @@ __all__ = [
     "write_bed",
     "read_bed",
     "read_vcf",
+    "write_random_bed",
 ]
 
 _BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
@@ -200,6 +201,65 @@ def write_bed(genomes: Genomes, prefix: Union[str, os.PathLike]) -> None:
         for name in genomes.loci_alleles:
             chrom, pos, a1, a2 = _parse_locus_name(name)
             fh.write(f"{chrom}\t{_escape(name)}\t0\t{pos}\t{a1}\t{a2}\n")
+
+
+def write_random_bed(
+    prefix: Union[str, os.PathLike],
+    n: int,
+    p: int,
+    seed: int = 7,
+    chunk_bytes: int = 256 * 1024 * 1024,
+    progress: bool = False,
+) -> None:
+    """Write an at-scale synthetic PLINK trio with COMPLETE diploid calls.
+
+    Genotype bytes are synthesized straight from an 81-entry valid-byte LUT
+    (all four 2-bit fields in {00, 10, 11} — the missing code 01 never
+    appears, so the exact int8 dosage / packed-payload paths of streaming.py
+    apply), one RNG pass + one gather per chunk — the float panel never
+    exists. Padding bit-pairs of each SNP's last byte are zeroed per the
+    PLINK spec and a minimal `.bim`/.fam are written, so the trio also loads
+    in external tools. Used by the disk-streamed GBLUP bench (bench.py
+    section "diskstream") and scripts/make_big_bed.py.
+    """
+    import sys
+
+    prefix = Path(prefix)
+    valid_codes = (0, 2, 3)  # hom A1 / het / hom A2; 1 = missing, excluded
+    lut = np.array(
+        [
+            a | (b << 2) | (c << 4) | (d << 6)
+            for a in valid_codes
+            for b in valid_codes
+            for c in valid_codes
+            for d in valid_codes
+        ],
+        dtype=np.uint8,
+    )
+    bytes_per_snp = (n + 3) // 4
+    total = bytes_per_snp * p
+    pad = n % 4
+    tail_mask = np.uint8((1 << (2 * pad)) - 1) if pad else np.uint8(0xFF)
+    rng = np.random.default_rng(seed)
+    with open(prefix.with_suffix(".bed"), "wb") as fh:
+        fh.write(_BED_MAGIC)
+        written = 0
+        while written < total:
+            m = min(chunk_bytes, total - written)
+            buf = lut[rng.integers(0, len(lut), size=m, dtype=np.uint8)]
+            if pad:
+                pos = written + np.arange(m, dtype=np.int64)
+                buf[pos % bytes_per_snp == bytes_per_snp - 1] &= tail_mask
+            fh.write(buf.tobytes())
+            written += m
+            if progress:
+                print(f"\r{written / total:6.1%}", end="", file=sys.stderr, flush=True)
+    if progress:
+        print(file=sys.stderr)
+    with open(prefix.with_suffix(".fam"), "w") as fh:
+        fh.writelines(f"pop_1\te{i:06d}\t0\t0\t0\t-9\n" for i in range(n))
+    with open(prefix.with_suffix(".bim"), "w") as fh:
+        fh.writelines(f"1\tsnp{i:07d}\t0\t{i + 1}\tA\tT\n" for i in range(p))
 
 
 def read_bed(
