@@ -238,14 +238,35 @@ def bench_sampler(on_tpu: bool) -> None:
     ):
         # n_iter is a jit static: the warmup must run the EXACT config or the
         # timed call pays the compile (round-2 numbers did — understated).
+        # Median of 3 timed runs: single-run tunnel variance was ±30%
+        # (round-3's driver capture landed 7% under the repo's own numbers).
         gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
-        t0 = time.perf_counter()
-        gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
-        dt = time.perf_counter() - t0
+        times, diag = [], None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, diag = gibbs_regression(
+                X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1
+            )
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[1]
         emit(
-            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label}, warm)",
+            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label}, warm median-of-3)",
             n_iter * p / dt,
             "updates/s",
+        )
+        # Statistical efficiency, not just raw sweeps: ESS of the 8-marker
+        # effect probe per wall-clock second (identical seeds/config as the
+        # timed runs). σ²ₑ's own ESS is reported in the description but not
+        # used as the numerator: on this pure-noise panel σ²ₑ drifts for
+        # ~150 sweeps (ESS≈2-3 for every kernel), which measures the panel,
+        # not the kernel.
+        emit(
+            f"{model} Gibbs effect-ESS/s (n={n}, p={p}, {label}; "
+            f"mean effect ESS={diag['ess_effects_mean']:.0f}, "
+            f"sigma_e2 ESS={diag['ess_sigma_e2']:.0f} "
+            f"of {n_iter - n_burnin} post-burnin sweeps)",
+            diag["ess_effects_mean"] / dt,
+            "ESS/s",
         )
 
 

@@ -21,7 +21,8 @@ matmul). Two block-update strategies, chosen per model:
   v5e at n=1024, p=16k, bs=512: 456-838k marker-updates/s vs 124-147k for
   the scalar scan.
 - **Grouped pattern draw** (all indicator models — BayesB / BayesC /
-  BLπ / BayesTπ): markers advance K at a time (default K=8). Per group the 2^K
+  BLπ / BayesTπ): markers advance K at a time (default K=6 — the measured
+  v5e optimum; see utils/config.py). Per group the 2^K
   inclusion patterns are scored with the COLLAPSED (effect-integrated)
   marginal likelihood — a vmapped batch of 2^K K×K Cholesky factorizations —
   the pattern is sampled exactly by Gumbel-max, and the included effects are
@@ -199,24 +200,32 @@ def _gibbs_chain(
         # inside each sequential group step — the group step then shrinks to
         # a quadratic-form einsum + Gumbel-argmax + two K-vector matvecs
         # (~2.3x fewer fused kernels per step, the scan's binding cost).
-        # Gated by table size: Q and L⁻¹ are (p/K)·2^K·K² floats each.
+        # Gated by table size: the masked-L⁻¹ table is (p/K)·2^K·K² floats
+        # (ONE table since round 4 — the P⁻¹ table is subsumed, see
+        # _build_group_tables), plus ~2x that transiently while the batched
+        # elimination builds it. 3.6e8 floats ≈ 1.4 GB resident, which with
+        # build temporaries stays comfortably inside a 16 GB chip and admits
+        # K=10 at p≈32k.
         hoist_groups = (
             not pallas_groups
-            and (p_pad // K_g) * n_pat * K_g * K_g <= int(1.5e8)
+            and (p_pad // K_g) * n_pat * K_g * K_g <= int(3.6e8)
         )
     else:
         hoist_groups = False
 
     def _build_group_tables(s2, sig_e2, pi_in):
-        """(Qmask, W, const) for every (block, group, pattern), batched.
+        """(W̃, const) for every (block, group, pattern), batched.
 
-        Qmask = pattern-masked P⁻¹ (zero rows/cols at excluded coords), W =
-        L⁻¹ of the masked precision's Cholesky (identity at excluded coords
-        — no fill-in across the decoupled index sets), const = the
-        v-independent part of the pattern log-weight: prior inclusion terms
-        − ½Σ_γ log s² − ½log|P| − the padding penalty. The group step then
-        scores patterns as const + ½ vᵀQmask v (equal to the bordered-
-        elimination weight of the in-step path, in different rounding).
+        W̃ = pattern-masked L⁻¹ of the precision's Cholesky (identity at
+        excluded coords — no fill-in across the decoupled index sets — then
+        rows/cols zeroed at excluded coords), const = the v-independent part
+        of the pattern log-weight: prior inclusion terms − ½Σ_γ log s² −
+        ½log|P| − the padding penalty. W̃ alone carries the whole draw
+        (round-3 shipped a second P⁻¹ table; W̃ subsumes it): with
+        Z = W̃v, the pattern score is const + ½‖Z‖² (= const + ½vᵀP⁻¹v on
+        the included set) and the selected pattern's joint draw is
+        b = W̃ᵀ(Z + η) = P⁻¹v + L⁻ᵀη — one einsum and one matvec per group
+        step, half the table HBM, and no Q=WᵀW build pass per sweep.
         """
         C5 = C.reshape(n_blocks, gpb, K_g, gpb, K_g)
         C_gg = jnp.einsum("bgkgl->bgkl", C5)  # per-group diagonal blocks
@@ -249,8 +258,12 @@ def _gibbs_chain(
                 accr = accr - L[..., i, j, None] * rows[j]
             rows.append(accr / L[..., i, i, None])
         W = jnp.stack(rows, axis=-2)  # (B, g, P, K, K) = L⁻¹
-        Q = jnp.einsum("...ki,...kj->...ij", W, W)  # P⁻¹ = L⁻ᵀL⁻¹
-        Qmask = Q * M[..., :, None] * M[..., None, :]
+        # Mask excluded coords out of W directly: excluded rows of L⁻¹ are
+        # exactly e_k (identity block, no fill-in across the decoupled index
+        # sets), so zeroing rows+cols at excluded coords makes Z = W̃v and
+        # b = W̃ᵀ(Z+η) automatically ignore/zero them — no separate γ mask
+        # or v masking needed in the group step.
+        W = W * M[..., :, None] * M[..., None, :]
         log_pi = jnp.log(pi_in)
         log_1mpi = jnp.log1p(-pi_in)
         const = (
@@ -260,7 +273,7 @@ def _gibbs_chain(
             - half_logdet
             - 1e30 * jnp.sum(patterns[None, None] * (1.0 - valg[:, :, None, :]), -1)
         )
-        return Qmask, W, const
+        return W, const
 
     def block_step(carry, gb, tables=None):
         b, r, s2, sig_e2, pi_in, incl_acc, key = carry
@@ -341,14 +354,12 @@ def _gibbs_chain(
         elif grouped and tables is not None:
             # Hoisted grouped draw: the per-pattern Choleskys were factorized
             # once for the whole sweep (_build_group_tables); each group step
-            # is now just the v-dependent part — quadratic forms against the
-            # precomputed Qmask, Gumbel-max pattern choice, and the K-dim
-            # draw b = Q v_m + L⁻ᵀ η via the precomputed W = L⁻¹. Exactly
-            # the same update law as the in-step elimination branch below.
-            Qmask_all, W_all, const_all = tables
-            Qb = jax.lax.dynamic_slice(
-                Qmask_all, (blk, 0, 0, 0, 0), (1, gpb, n_pat, K_g, K_g)
-            )[0]
+            # is only the v-dependent part — Z = W̃v per pattern, score
+            # const + ½‖Z‖² + gumbel, then the selected pattern's joint draw
+            # b = W̃ᵀ(Z + η). Exactly the same update law as the in-step
+            # elimination branch below (W̃ᵀZ = P⁻¹v, W̃ᵀη = L⁻ᵀη on the
+            # included set; excluded coords are zeroed inside W̃).
+            W_all, const_all = tables
             Wb = jax.lax.dynamic_slice(
                 W_all, (blk, 0, 0, 0, 0), (1, gpb, n_pat, K_g, K_g)
             )[0]
@@ -358,40 +369,35 @@ def _gibbs_chain(
             )))
 
             def group_step_h(carry, g):
-                cdelta, delta, b_blk = carry
+                # Carry `w = u − cdelta` directly (one slice per step instead
+                # of separate u and cdelta slices); w updates by the same
+                # d·C_rows axpy the cdelta carry did.
+                w, delta, b_blk = carry
                 r0 = g * K_g
                 Cb_rows = jax.lax.dynamic_slice(Cb, (r0, 0), (K_g, bs))
                 C_gg = jax.lax.dynamic_slice(Cb_rows, (0, r0), (K_g, K_g))
-                u_cur = (
-                    jax.lax.dynamic_slice(u, (r0,), (K_g,))
-                    - jax.lax.dynamic_slice(cdelta, (r0,), (K_g,))
-                )
+                u_cur = jax.lax.dynamic_slice(w, (r0,), (K_g,))
                 b_cur = jax.lax.dynamic_slice(b_blk, (r0,), (K_g,))
                 val_g = jax.lax.dynamic_slice(val_blk, (r0,), (K_g,))
                 v = (u_cur + C_gg @ b_cur) / sig_e2
-                Qg = jax.lax.dynamic_slice(
-                    Qb, (g, 0, 0, 0), (1, n_pat, K_g, K_g)
-                )[0]
                 Wg = jax.lax.dynamic_slice(
                     Wb, (g, 0, 0, 0), (1, n_pat, K_g, K_g)
                 )[0]
                 cg = jax.lax.dynamic_slice(cb, (g, 0), (1, n_pat))[0]
-                quad = jnp.einsum("pkl,k,l->p", Qg, v, v)
-                m_star = jnp.argmax(cg + 0.5 * quad + gum[g])
+                Z = jnp.einsum("pkl,l->pk", Wg, v)  # L⁻¹v per pattern
+                m_star = jnp.argmax(cg + 0.5 * jnp.sum(Z * Z, axis=-1) + gum[g])
                 gam = patterns[m_star] * val_g
-                Qsel = Qg[m_star]
                 Wsel = Wg[m_star]
                 eta = jax.lax.dynamic_slice(normals, (r0,), (K_g,))
-                b_acc = Qsel @ v + Wsel.T @ eta
-                b_new = jnp.where(gam > 0, b_acc, 0.0)
+                b_new = (Z[m_star] + eta) @ Wsel  # = W̃ᵀ(Z+η); 0 at excluded
                 d = b_new - b_cur
-                cdelta = cdelta + jnp.dot(d, Cb_rows, preferred_element_type=jnp.float32)
+                w = w - jnp.dot(d, Cb_rows, preferred_element_type=jnp.float32)
                 delta = jax.lax.dynamic_update_slice(delta, d, (r0,))
                 b_blk = jax.lax.dynamic_update_slice(b_blk, b_new, (r0,))
-                return (cdelta, delta, b_blk), gam > 0
+                return (w, delta, b_blk), gam > 0
 
-            init = (_vary(jnp.zeros(bs)), _vary(jnp.zeros(bs)), b_blk)
-            (cdelta, delta, b_blk_new), incl_g = jax.lax.scan(
+            init = (_vary(u), _vary(jnp.zeros(bs)), b_blk)
+            (w, delta, b_blk_new), incl_g = jax.lax.scan(
                 group_step_h, init, jnp.arange(gpb), unroll=4
             )
             incl = incl_g.reshape(bs)
@@ -704,7 +710,12 @@ def _gibbs_chain(
         acc_b = acc_b + w * b
         acc_mu = acc_mu + w * mu
         acc_n = acc_n + w
-        return (b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n, z, gam), sig_e2
+        # Per-sweep scalar traces for mixing diagnostics: σ²ₑ plus an
+        # 8-marker effect probe (ESS/s of effects is the honest "better
+        # mixing" measurement — sweeps/s alone can hide a slow-mixing
+        # kernel). Tiny: 9 floats per sweep.
+        b_probe = jax.lax.dynamic_slice(b, (0,), (min(8, p_pad),))
+        return (b, r, s2, sig_e2, mu, pi_in, S_scale, key, acc_b, acc_mu, acc_n, z, gam), (sig_e2, b_probe)
 
     if response_id == 1:
         # Latent liabilities start at the standardized category codes with
@@ -747,7 +758,7 @@ def _gibbs_chain(
         state0 = state_in
     if iters is None:
         iters = jnp.arange(n_iter)
-    state, sig_trace = jax.lax.scan(sweep, state0, iters)
+    state, traces = jax.lax.scan(sweep, state0, iters)
     acc_b, acc_mu, acc_n = state[8], state[9], state[10]
     safe_n = jnp.maximum(acc_n, 1e-12)
     b_mean = acc_b / safe_n
@@ -755,8 +766,8 @@ def _gibbs_chain(
     #                                         = (mu_c - mu_cols . b) + X b.
     mu_out = acc_mu / safe_n - _psum(jnp.dot(mu_cols, b_mean))
     if return_state:
-        return mu_out, b_mean, sig_trace, state
-    return mu_out, b_mean, sig_trace
+        return mu_out, b_mean, traces, state
+    return mu_out, b_mean, traces
 
 
 def gibbs_regression(
@@ -928,6 +939,7 @@ def gibbs_regression(
                         jnp.asarray(snap[f"s{i}"]) for i in range(len(snap))
                     )
             mu_hat = b_hat = None
+            b_traces = []
             while done < n_iter:
                 seg = int(min(chunk_size, n_iter - done))
                 iters = jnp.arange(done, done + seg)
@@ -935,7 +947,8 @@ def gibbs_regression(
                     keys[0], iters=iters, state_in=state, return_state=True
                 )
                 done += seg
-                traces.append(np.asarray(tr, dtype=np.float64))
+                traces.append(np.asarray(tr[0], dtype=np.float64))
+                b_traces.append(np.asarray(tr[1], dtype=np.float64))
                 if checkpoint_path is not None:
                     from ..utils.checkpoint import save_state as _save
 
@@ -943,20 +956,32 @@ def gibbs_regression(
                     snap["__done__"] = np.asarray(done)
                     _save(checkpoint_path, snap)
             sig_trace = np.concatenate(traces)
+            b_trace = np.concatenate(b_traces, axis=0)
         else:
-            mu_hat, b_hat, sig_trace = run(keys[0])
+            mu_hat, b_hat, (sig_trace, b_trace) = run(keys[0])
         mu_hat = float(mu_hat)
         b_hat = np.asarray(b_hat[:p], dtype=np.float64)
     else:
-        mus, bs_, sig_trace = jax.vmap(run)(keys)
+        mus, bs_, (sig_trace, b_trace) = jax.vmap(run)(keys)
         mu_hat = float(jnp.mean(mus))
         b_hat = np.asarray(jnp.mean(bs_, axis=0)[:p], dtype=np.float64)
-    from ..utils.diagnostics import mcmc_diagnostics
+    from ..utils.diagnostics import ess, mcmc_diagnostics
 
     traces = np.atleast_2d(np.asarray(sig_trace, dtype=np.float64))  # (m, T)
     post = traces[:, n_burnin:] if traces.shape[1] > n_burnin else traces
     diag = {"sigma_e2_trace": traces[0]}
     diag.update(mcmc_diagnostics(post, name="sigma_e2"))
+    # Effect-probe mixing: mean ESS over the 8 traced marker effects
+    # ((m, T, 8) from vmapped chains, (T, 8) otherwise) — the denominator of
+    # the bench's ESS/s line, measuring mixing per wall-clock rather than
+    # raw sweeps/s.
+    bt = np.asarray(b_trace, dtype=np.float64)
+    if bt.ndim == 2:
+        bt = bt[None]
+    bt_post = bt[:, n_burnin:, :] if bt.shape[1] > n_burnin else bt
+    diag["ess_effects_mean"] = float(
+        np.mean([ess(bt_post[:, :, j]) for j in range(bt_post.shape[2])])
+    )
     return mu_hat, b_hat, diag
 
 

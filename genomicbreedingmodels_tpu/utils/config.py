@@ -17,20 +17,26 @@ class GBMConfig:
     mcmc_block_size: int = 256
     mcmc_n_iter: int = 1_500
     mcmc_n_burnin: int = 500
-    # BayesB/C within-block kernel: "grouped" runs the exact collapsed
-    # 2^K-pattern draw (K=mcmc_group_size) as an XLA scan — the fastest path
-    # through the axon TPU tunnel. When the per-sweep pattern tables fit
-    # (p/K · 2^K · K² ≤ 1.5e8 floats) the pattern Choleskys are HOISTED out
+    # Indicator-model within-block kernel (BayesB/C, BLπ, BayesTπ):
+    # "grouped" runs the exact collapsed 2^K-pattern draw
+    # (K=mcmc_group_size) as an XLA scan — the fastest path through the
+    # axon TPU tunnel. When the per-sweep pattern table fits
+    # (p/K · 2^K · K² ≤ 3.6e8 floats) the pattern Choleskys are HOISTED out
     # of the sequential scan and factorized once per sweep (s2/σ²ₑ/π are
-    # sweep-constant), shrinking each group step to a quadratic-form einsum
-    # + Gumbel-argmax + two K-vector solves — measured 94-133k → 250k+
-    # updates/s at 2048×32768. "pallas" runs the same update as one Pallas
-    # kernel per block (ops/pallas_gibbs.py) — the right design for
-    # direct-attached TPUs, but the tunnel adds ~2.3 ms fixed overhead per
-    # kernel launch, so it is opt-in. "scalar" is the one-marker-at-a-time
-    # oracle. "auto" (default) = grouped.
+    # sweep-constant) into ONE masked-L⁻¹ table, shrinking each group step
+    # to Z = W̃v + Gumbel-argmax + one K-vector matvec — measured 341-360k
+    # updates/s at 2048×32768 on v5e (K∈{4..8}; round-3's two-table variant
+    # hit 213-226k, the scalar scan 56-93k). "pallas" runs the same update
+    # as one Pallas kernel per block (ops/pallas_gibbs.py) — the right
+    # design for direct-attached TPUs, but the tunnel adds ~2.3 ms fixed
+    # overhead per kernel launch, so it is opt-in. "scalar" is the
+    # one-marker-at-a-time oracle. "auto" (default) = grouped.
     mcmc_indicator_update: str = "auto"
-    mcmc_group_size: int = 8
+    # K=6 measured fastest on v5e (360k vs 338k at K=8, 341k at K=4: the
+    # per-step pattern batch 2^K·K² stays VPU-cheap while the sequential
+    # step count p/K drops); K=10's 1024-pattern unrolled build fails
+    # remote compile, so the curve ends at 8-9.
+    mcmc_group_size: int = 6
     # λ paths
     n_lambda: int = 100
     lambda_min_ratio: float = 0.01
