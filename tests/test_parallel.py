@@ -219,3 +219,29 @@ def test_gwas_public_api_mesh_dispatch(mesh8):
     # objectives (observed: 1/160 markers off by ~0.015 z).
     assert np.argmax(np.abs(f0.b_hat)) == np.argmax(np.abs(f1.b_hat))
     np.testing.assert_allclose(f1.b_hat, f0.b_hat, rtol=2e-2, atol=2e-2)
+
+
+def test_weak_scaling_harness_smoke():
+    """scripts/weak_scaling.py (VERDICT r03 item 4a): per-device work stays
+    fixed as D grows; stages execute and report sane efficiencies."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        from weak_scaling import run_weak_scaling
+    finally:
+        sys.path.pop(0)
+
+    lines = []
+    results = run_weak_scaling(
+        device_counts=(1, 2), n=48, p_per_device=128, gibbs_iters=2,
+        cg_iters=4, emit=lines.append,
+    )
+    assert set(results) == {1, 2}
+    for D in (1, 2):
+        assert all(v > 0 for v in results[D].values())
+    import json
+
+    summary = json.loads(lines[-1])
+    assert summary["summary"] and "efficiency_grm" in summary
