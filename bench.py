@@ -549,8 +549,26 @@ def main() -> None:
         emit("GRM+GBLUP SNPs/s/chip (headline FAILED; see stderr)", 0.0, "SNPs/s", 0.0)
 
 
+def _run_parity() -> None:
+    # Accuracy ledger, not throughput: force CPU (deterministic, no tunnel)
+    # and emit one JSON row per model-vs-f64-oracle measurement. Feeds
+    # PARITY.md via scripts/update_parity_md.py.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from genomicbreedingmodels_tpu.parity import run_parity_ledger
+
+    rows = run_parity_ledger()
+    bad = [r for r in rows if not r["pass"]]
+    if bad:
+        note(f"# parity FAILURES: {[r['model'] for r in bad]}")
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--parity":
+        _run_parity()
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--section":
         _run_section(sys.argv[2])
     else:
         main()

@@ -32,3 +32,22 @@ def test_readme_has_no_hand_written_numbers_outside_block():
     # the capability table cites two measured kernel rates with design context;
     # anything beyond that is drift.
     assert len(hits) <= 2, f"hand-written GSNP/s claims outside bench block: {hits}"
+
+
+def test_parity_ledger_table_populated():
+    text = (REPO / "PARITY.md").read_text()
+    m = re.search(r"<!-- parity:begin -->(.*?)<!-- parity:end -->", text, re.S)
+    assert m, "PARITY.md lost its parity:begin/end markers"
+    rows = [ln for ln in m.group(1).splitlines() if ln.startswith("| `")]
+    assert len(rows) >= 8, f"parity ledger has only {len(rows)} measured rows"
+    assert "FAIL" not in m.group(1), "PARITY.md publishes a failing parity row"
+
+
+def test_parity_quick_rows_pass():
+    """The closed-form half of the --parity ledger, run live (the sampler
+    and REML rows are covered by test_parity_oracles.py)."""
+    from genomicbreedingmodels_tpu.parity import run_parity_ledger
+
+    rows = run_parity_ledger(emit=lambda s: None, quick=True)
+    assert len(rows) >= 5
+    assert all(r["pass"] for r in rows), [r for r in rows if not r["pass"]]
