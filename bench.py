@@ -311,6 +311,52 @@ def bench_gwas(on_tpu: bool) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Epistasis pair scan (transform2 — the reference's #4 hot loop)
+# ---------------------------------------------------------------------------
+
+
+def bench_epistasis(on_tpu: bool) -> None:
+    """All-ordered-pairs simple-regression scan for t = x_a * x_b (mult
+    kernel): l² pair slopes as three GEMMs per block row + on-device
+    running top-k (the reference's O(l²·n) hottest feature loop,
+    src/transformation.jl:319-468, executed column-at-a-time there)."""
+    import numpy as np
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.features.endofunctions import mult
+    from genomicbreedingmodels_tpu.features.transform import transform2
+
+    if on_tpu:
+        n, l = 512, 16_384
+    else:
+        n, l = 64, 512
+    rng = np.random.default_rng(5)
+    freq = rng.uniform(size=(n, l))
+    genomes = gbm.Genomes(
+        entries=np.array([f"e{i:05d}" for i in range(n)]),
+        populations=np.array(["pop_1"] * n),
+        loci_alleles=np.array([f"chr1\t{i}\tA|T\tA" for i in range(l)]),
+        allele_frequencies=freq,
+    )
+    y = freq[:, :32] @ rng.normal(size=32) + rng.normal(size=n)
+    phenomes = gbm.Phenomes(
+        entries=genomes.entries, populations=genomes.populations,
+        traits=np.array(["t"]), phenotypes=y[:, None],
+    )
+    kw = dict(n_new_features_per_transformation=1_000)
+    transform2(mult, genomes, phenomes, **kw)  # compile warmup
+    t0 = time.perf_counter()
+    out = transform2(mult, genomes, phenomes, **kw)
+    dt = time.perf_counter() - t0
+    assert out.allele_frequencies.shape[1] > 0
+    emit(
+        f"epistasis pair-scan pairs/s (transform2 mult, n={n}, l={l}, "
+        f"l^2={l * l / 1e6:.0f}M ordered pairs, 3-GEMM slopes + device top-k, warm)",
+        l * l / dt,
+        "pairs/s",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CV wall-clock (replicated k-fold, batched fold-sharded engine)
 # ---------------------------------------------------------------------------
 
@@ -456,6 +502,7 @@ SECTIONS = {
     "sampler": bench_sampler,
     "gwas": bench_gwas,
     "diskstream": bench_diskstream,
+    "epistasis": bench_epistasis,
     "cv": bench_cv,
 }
 
@@ -468,6 +515,7 @@ SECTION_FLOOR = {
     "sampler": 110,
     "gwas": 70,
     "diskstream": 130,
+    "epistasis": 60,
     "cv": 100,
 }
 SECTION_CAP = 600  # hard per-section subprocess timeout ceiling

@@ -173,6 +173,98 @@ def _generic_block_topk(Xblk, Xj, ymj, okb, okall, row0, f: Callable,
     return _beta_mask_topk(beta.reshape(Xblk.shape[1], -1), okb, okall, row0, commutative, k)
 
 
+def _pairs_topk_sharded(
+    Xp, ymj, okp, mesh, axis: str, kern_name: str, commutative: bool,
+    k: int, rows_per_chunk: int,
+):
+    """Mesh-sharded all-pairs slope scan: the pair-matrix BLOCK-ROW ranges
+    are partitioned over the mesh axis (each device owns l_pad/D row loci,
+    sees the full column panel replicated), every device runs the same
+    GEMM-formula row-chunk scan with an ON-DEVICE running top-k, and only
+    D·k (value, global-flat-index) pairs return to the host for the final
+    merge — the same merge semantics as the single-device block loop.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n, l_pad = Xp.shape
+    D = mesh.shape[axis]
+    lp = l_pad // D
+    n_chunks = lp // rows_per_chunk
+
+    def kernel(Xl, Xfull, ym, okl, okfull):
+        dev = jax.lax.axis_index(axis)
+        row_dev0 = dev * lp
+
+        def chunk_step(carry, c):
+            tv, tr, tc = carry
+            r0 = c * rows_per_chunk
+            Xblk = jax.lax.dynamic_slice(Xl, (0, r0), (n, rows_per_chunk))
+            okb = jax.lax.dynamic_slice(okl, (r0,), (rows_per_chunk,))
+            row0 = row_dev0 + r0
+            if kern_name == "mult":
+                Nm = jnp.dot((Xblk * ym[:, None]).T, Xfull, preferred_element_type=jnp.float32)
+                S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
+                Q = jnp.dot((Xblk * Xblk).T, Xfull * Xfull, preferred_element_type=jnp.float32)
+                den = Q - S1 * S1 / n
+                beta = Nm / jnp.maximum(den, 1e-30)
+            else:  # addnorm
+                u = jnp.dot(Xfull.T, ym, preferred_element_type=jnp.float32)
+                s = jnp.sum(Xfull, axis=0)
+                q = jnp.sum(Xfull * Xfull, axis=0)
+                ub = jax.lax.dynamic_slice(u, (row_dev0 + r0,), (rows_per_chunk,))
+                sb = jax.lax.dynamic_slice(s, (row_dev0 + r0,), (rows_per_chunk,))
+                qb = jax.lax.dynamic_slice(q, (row_dev0 + r0,), (rows_per_chunk,))
+                S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
+                num = 0.5 * (ub[:, None] + u[None, :])
+                st = 0.5 * (sb[:, None] + s[None, :])
+                st2 = 0.25 * (qb[:, None] + 2.0 * S1 + q[None, :])
+                den = st2 - st * st / n
+                beta = num / jnp.maximum(den, 1e-30)
+            beta = jnp.where(okb[:, None] & okfull[None, :], beta, 0.0)
+            if commutative:
+                rows = row0 + jnp.arange(rows_per_chunk)
+                beta = jnp.where(jnp.arange(l_pad)[None, :] < rows[:, None], 0.0, beta)
+            flat = beta.reshape(-1)
+            _, bi = jax.lax.top_k(jnp.abs(flat), k)
+            # Carry (row, col) as separate int32s: a flat l_pad² index would
+            # overflow int32 beyond l≈46k and x64 is disabled under jit.
+            grow = (row0 + bi // l_pad).astype(jnp.int32)
+            gcol = (bi % l_pad).astype(jnp.int32)
+            mv = jnp.concatenate([tv, flat[bi]])
+            mr = jnp.concatenate([tr, grow])
+            mc = jnp.concatenate([tc, gcol])
+            _, sel = jax.lax.top_k(jnp.abs(mv), k)
+            return (mv[sel], mr[sel], mc[sel]), None
+
+        def _vary(v):
+            # shard_map VMA typing: the carry becomes device-varying inside
+            # the scan, so the init must be marked varying too.
+            try:
+                return jax.lax.pcast(v, (axis,), to="varying")
+            except ValueError:
+                return v
+
+        init = (
+            _vary(jnp.zeros((k,), jnp.float32)),
+            _vary(jnp.zeros((k,), jnp.int32)),
+            _vary(jnp.zeros((k,), jnp.int32)),
+        )
+        (tv, tr, tc), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
+        return tv[None], tr[None], tc[None]
+
+    vals, rows, cols = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )(Xp, Xp, ymj, okp, okp)
+    return (
+        np.asarray(vals).reshape(-1),
+        np.asarray(rows, dtype=np.int64).reshape(-1),
+        np.asarray(cols, dtype=np.int64).reshape(-1),
+    )
+
+
 def transform2(
     f: Callable,
     genomes: Genomes,
@@ -186,10 +278,14 @@ def transform2(
     var_threshold: float = 0.01,
     commutative: bool = False,
     block: int = 64,
+    mesh=None,
     verbose: bool = False,
 ) -> Genomes:
     """Apply a binary transform to every ordered locus pair, rank effects
-    (reference src/transformation.jl:319-468)."""
+    (reference src/transformation.jl:319-468). With `mesh` (and a GEMM
+    kernel transform — mult/addnorm), the pair-matrix block rows are
+    sharded over the mesh's last axis with per-device on-device top-k and
+    a host merge; other transforms fall back to the single-device loop."""
     X, y, entries, populations, loci_alleles = extractxyetc(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
         idx_trait=idx_trait, add_intercept=False,
@@ -214,6 +310,33 @@ def transform2(
         "addnorm": _addnorm_block_topk,
     }.get(fname_dispatch)
 
+    if mesh is not None and kern is not None:
+        import math
+
+        axis = list(mesh.shape.keys())[-1]
+        D = mesh.shape[axis]
+        rc = 128
+        l_pad = int(math.ceil(l / (D * rc)) * D * rc)
+        Xpad = np.zeros((n, l_pad), dtype=np.float32)
+        Xpad[:, :l] = X
+        okpad = np.zeros(l_pad, dtype=bool)
+        okpad[:l] = ok
+        k = int(min(k_cap, rc * l_pad))
+        vals, ii_all, jj_all = _pairs_topk_sharded(
+            jnp.asarray(Xpad), ymj, jnp.asarray(okpad), mesh, axis,
+            fname_dispatch, commutative, k, rc,
+        )
+        real = (ii_all < l) & (jj_all < l)
+        vals, ii_all, jj_all = vals[real], ii_all[real], jj_all[real]
+        sel = np.argsort(-np.abs(vals), kind="stable")[:k_cap]
+        top_idx = ii_all[sel] * np.int64(l) + jj_all[sel]
+        top_beta = vals[sel].astype(np.float64)
+        keep_mask = np.abs(top_beta) > eps
+        sel_idx = np.sort(top_idx[keep_mask])
+        return _materialize_pairs(
+            f, X, sel_idx, l, eps, entries, populations, loci_alleles
+        )
+
     # Running top-k merge across blocks (flat index = i * l + j). Each block's
     # candidate top-k is selected ON DEVICE (lax.top_k) so only k (value,
     # index) pairs cross the host link per block instead of bi·l slopes.
@@ -236,6 +359,10 @@ def transform2(
 
     keep_mask = np.abs(top_beta) > eps
     sel_idx = np.sort(top_idx[keep_mask])  # reference sorts selected flat indices (:429)
+    return _materialize_pairs(f, X, sel_idx, l, eps, entries, populations, loci_alleles)
+
+
+def _materialize_pairs(f, X, sel_idx, l, eps, entries, populations, loci_alleles) -> Genomes:
     ii = sel_idx // l
     jj = sel_idx % l
     T = np.asarray(f(X[:, ii], X[:, jj]), dtype=np.float64)

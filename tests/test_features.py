@@ -156,3 +156,35 @@ def test_transform2_gemm_fast_paths_match_bruteforce():
         fname = "mult" if fn is gbm.mult else "addnorm"
         want = f"{fname}({genomes.loci_alleles[best[0]]},{genomes.loci_alleles[best[1]]})"
         assert want in set(out.loci_alleles.tolist()), (want, out.loci_alleles[:3], best)
+
+
+@pytest.mark.parametrize("fname,commutative", [("mult", False), ("addnorm", True)])
+def test_transform2_mesh_matches_single_device(fname, commutative):
+    """Mesh-sharded pair scan (VERDICT r03 item 6): block rows over 'mp'
+    with per-device top-k + host merge must select the same pairs with the
+    same slopes as the single-device block loop."""
+    import jax
+    from genomicbreedingmodels_tpu.features.endofunctions import FUNCTION_REGISTRY
+    from genomicbreedingmodels_tpu.features.transform import transform2
+    from genomicbreedingmodels_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(shape=(1, 8), axis_names=("dp", "mp"))
+    f = FUNCTION_REGISTRY[fname]
+    genomes = gbm.simulate_genomes(n=60, l=96, seed=3)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.3, 0.0, 0.1]]), seed=3
+    )
+    phenomes = gbm.extract_phenomes(trials)
+    kw = dict(n_new_features_per_transformation=25, commutative=commutative)
+    g0 = transform2(f, genomes, phenomes, **kw)
+    g1 = transform2(f, genomes, phenomes, mesh=mesh, **kw)
+    # Same selected pairs (name set) — float ties could reorder equals, so
+    # compare as sets — and identical feature columns for the common names.
+    names0, names1 = list(g0.loci_alleles), list(g1.loci_alleles)
+    common = set(names0) & set(names1)
+    assert len(common) >= 0.92 * len(names0), (names0, names1)
+    i0 = [names0.index(nm) for nm in sorted(common)]
+    i1 = [names1.index(nm) for nm in sorted(common)]
+    np.testing.assert_allclose(
+        g0.allele_frequencies[:, i0], g1.allele_frequencies[:, i1], atol=1e-12
+    )
