@@ -46,7 +46,21 @@ from .harness import _common_checks
 
 __all__ = ["cvbulk_batched"]
 
-BATCHED_MODELS = ("ridge", "gblup", "lasso")
+BATCHED_MODELS = (
+    "ridge", "gblup", "lasso",
+    # Bayesian zoo: F independent row-masked Gibbs chains vmapped into one
+    # XLA program (models/bayesian.py:gibbs_cv_folds) — the sampler CV path
+    # is batched like the closed-form models instead of dispatched as
+    # executor jobs.
+    "bayesa", "bayesb", "bayesc", "bayesian_ridge",
+)
+
+_GIBBS_MODEL_KEYS = {
+    "bayesa": "BayesA",
+    "bayesb": "BayesB",
+    "bayesc": "BayesC",
+    "bayesian_ridge": "BRR",
+}
 
 
 @partial(jax.jit, static_argnames=())
@@ -228,16 +242,21 @@ def cvbulk_batched(
     lambdas: Optional[Sequence[float]] = None,
     store_effects: bool = True,
     mesh: Optional[Mesh] = None,
+    mcmc_n_iter: Optional[int] = None,
+    mcmc_n_burnin: Optional[int] = None,
     verbose: bool = False,
 ) -> Tuple[List[CV], List[str]]:
     """Replicated k-fold CV, fully batched on device, fold axis over the mesh.
 
-    `models` ⊆ {"ridge", "gblup", "lasso"}. Returns the same (cvs, notes)
-    surface as `cvbulk`; each CV's fit carries the fold's chosen λ (or
-    variance ratio) in `extras` and (with `store_effects`) marker effects in
-    `b_hat` so `predict` works. Pass `mesh=Mesh(jax.devices(), ('dp',))` to
-    spread folds across devices (ridge, gblup, AND lasso — all three models
-    dispatch the fold batch the same way).
+    `models` ⊆ BATCHED_MODELS. Returns the same (cvs, notes) surface as
+    `cvbulk`; each CV's fit carries the fold's chosen λ (or variance ratio)
+    in `extras` and (with `store_effects`) marker effects in `b_hat` so
+    `predict` works. Pass `mesh=Mesh(jax.devices(), ('dp',))` to spread
+    folds across devices (ridge, gblup, AND lasso dispatch the fold batch
+    the same way). Bayesian models run as vmapped row-masked Gibbs chains —
+    one XLA program per (trait, model) covering every (replication, fold) —
+    currently on a single device (`mcmc_n_iter`/`mcmc_n_burnin` override the
+    config chain length for CV sweeps).
     """
     for m in models:
         if m not in BATCHED_MODELS:
@@ -293,7 +312,26 @@ def cvbulk_batched(
         V = np.stack(v_list)
 
         for model in models:
-            if model in ("ridge", "gblup"):
+            if model in _GIBBS_MODEL_KEYS:
+                from ..models.bayesian import gibbs_cv_folds
+
+                mus, betas = gibbs_cv_folds(
+                    np.asarray(genomes.allele_frequencies, dtype=np.float32),
+                    np.asarray(y), W, model=_GIBBS_MODEL_KEYS[model],
+                    n_iter=mcmc_n_iter, n_burnin=mcmc_n_burnin, seed=seed,
+                )
+                preds_g = mus[None, :] + np.asarray(
+                    genomes.allele_frequencies, dtype=np.float64
+                ) @ betas.T.astype(np.float64)  # (n, F) -> below indexed [:, f]
+                for f, (i, j) in enumerate(tags):
+                    cvs.append(
+                        _emit_gibbs(
+                            genomes, phi, W[f], V[f], preds_g[:, f],
+                            float(mus[f]), betas[f], model, str(trait), i, j,
+                            store_effects,
+                        )
+                    )
+            elif model in ("ridge", "gblup"):
                 grid = lambdas_j if model == "ridge" else ratio_grid
                 grid_np = np.asarray(lambdas) if model == "ridge" else np.asarray(ratio_grid, dtype=np.float64)
                 preds, gammas, crit = _solve_folds(K, y, W, grid, mesh, model)
@@ -364,6 +402,41 @@ def _emit_dual(genomes, phi, w, v, pred, gamma, Z, model, trait, rep, fold, lam,
         y_pred=pred[tr_rows],
         metrics=metrics(phi[tr_rows], pred[tr_rows]),
         extras={"lambda": lam, "engine": "batched" if model == "ridge" else "batched-reml"},
+    )
+    return CV(
+        replication=f"replication_{rep}",
+        fold=f"fold_{fold}",
+        fit=fit,
+        validation_populations=genomes.populations[rows],
+        validation_entries=genomes.entries[rows],
+        y_true=phi[rows],
+        y_pred=pred[rows],
+        metrics=metrics(phi[rows], pred[rows]),
+    )
+
+
+def _emit_gibbs(genomes, phi, w, v, pred, mu, beta, model, trait, rep, fold, store_effects):
+    """Assemble Fit+CV for a fold-batched Gibbs posterior-mean solution."""
+    pred = np.asarray(pred, dtype=np.float64)
+    rows = np.flatnonzero(v > 0)
+    tr_rows = np.flatnonzero(w > 0)
+    if store_effects:
+        b_hat = np.concatenate([[mu], np.asarray(beta, dtype=np.float64)])
+        labels = np.concatenate([np.asarray(["intercept"], dtype=object), genomes.loci_alleles])
+    else:
+        b_hat = np.zeros(1)
+        labels = np.asarray(["intercept"], dtype=object)
+    fit = Fit(
+        model=model,
+        b_hat=b_hat,
+        b_hat_labels=labels,
+        trait=trait,
+        entries=genomes.entries[tr_rows],
+        populations=genomes.populations[tr_rows],
+        y_true=phi[tr_rows],
+        y_pred=pred[tr_rows],
+        metrics=metrics(phi[tr_rows], pred[tr_rows]),
+        extras={"engine": "batched-gibbs"},
     )
     return CV(
         replication=f"replication_{rep}",

@@ -67,6 +67,7 @@ from ..prediction import extractxyetc
 
 __all__ = [
     "gibbs_regression",
+    "gibbs_cv_folds",
     "bglr",
     "bayesian",
     "bayesa",
@@ -114,6 +115,7 @@ def _gibbs_chain(
     pinned: bool = False,
     group_size: int = 0,
     pallas_groups: bool = False,
+    row_mask=None,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -145,13 +147,28 @@ def _gibbs_chain(
     dev_ix = jax.lax.axis_index(axis_name) if axis_name is not None else 0
     n, p_pad = X.shape
     bs = block_size
+    # Row-masked mode (fold-batched CV): `row_mask` zeroes held-out entries.
+    # Masked rows of the centered X are zero, so they contribute nothing to
+    # u = Xᵀr, the block Grams, or the residual GEMVs; the only places the
+    # entry count enters explicitly (column means, intercept draw, residual
+    # χ², inits) use n_eff = Σ mask instead of the static n. The unmasked
+    # program is left textually identical (bit-identical chains vs prior
+    # rounds).
+    masked = row_mask is not None
+    if masked and response_id == 1:
+        raise ValueError("row-masked chains support gaussian responses only")
+    n_eff = jnp.sum(row_mask) if masked else n
     # Center the design; the intercept absorbs the column means and the
     # returned mu is adjusted back at the end. Centering removes the common
     # all-positive direction of allele-frequency columns — essential for the
     # sharded block-Jacobi rounds (uncentered concurrent blocks all absorb
     # the residual mean and overshoot), and better-conditioned generally.
-    mu_cols = jnp.mean(X, axis=0)  # (p_pad,) local
-    X = X - mu_cols[None, :]
+    if masked:
+        mu_cols = jnp.sum(X * row_mask[:, None], axis=0) / n_eff
+        X = (X - mu_cols[None, :]) * row_mask[:, None]
+    else:
+        mu_cols = jnp.mean(X, axis=0)  # (p_pad,) local
+        X = X - mu_cols[None, :]
     x2 = jnp.sum(X * X, axis=0)  # (p_pad,)
     # Per-block Gram matrices: (B, bs, bs); each is one MXU matmul.
     Xb = X.T.reshape(n_blocks, bs, n)  # block-major marker layout
@@ -592,8 +609,12 @@ def _gibbs_chain(
         active = jnp.where(has_indicator, incl, valid)
 
         # 2) Intercept.
-        mu_new = mu + jnp.mean(r) + jnp.sqrt(sig_e2 / n) * jax.random.normal(k_mu)
-        r = r - (mu_new - mu)
+        if masked:
+            mu_new = mu + jnp.sum(r) / n_eff + jnp.sqrt(sig_e2 / n_eff) * jax.random.normal(k_mu)
+            r = r - (mu_new - mu) * row_mask
+        else:
+            mu_new = mu + jnp.mean(r) + jnp.sqrt(sig_e2 / n) * jax.random.normal(k_mu)
+            r = r - (mu_new - mu)
         mu = mu_new
 
         if is_ordinal:
@@ -629,8 +650,10 @@ def _gibbs_chain(
             sse = jnp.dot(r, r)
         else:
             # 3) Residual variance: σ²ₑ = (SSE + Sₑ) / χ²(n + dfₑ) (BGLR).
+            # Masked rows carry r = 0, so SSE needs no masking; the χ²
+            # degrees of freedom count only real training rows.
             sse = jnp.dot(r, r)
-            sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + n)
+            sig_e2 = (sse + S_e0) / _chi2(k_e, df_e + (n_eff if masked else n))
         if pinned:
             # Oracle mode: variances held fixed so the marker-effect posterior
             # is exactly Gaussian (conjugate) — used by the f64 parity suite.
@@ -725,6 +748,12 @@ def _gibbs_chain(
         mu0 = jnp.float32(0.0)
         r0 = z0 - mu0
         sig0 = jnp.float32(1.0)
+    elif masked:
+        z0 = y
+        gam0 = jnp.zeros((max(n_cats - 1, 1),), jnp.float32)
+        mu0 = jnp.sum(y * row_mask) / n_eff
+        r0 = (y - mu0) * row_mask
+        sig0 = jnp.sum(r0 * r0) / n_eff * 0.5
     else:
         z0 = y
         gam0 = jnp.zeros((max(n_cats - 1, 1),), jnp.float32)
@@ -983,6 +1012,110 @@ def gibbs_regression(
         np.mean([ess(bt_post[:, :, j]) for j in range(bt_post.shape[2])])
     )
     return mu_hat, b_hat, diag
+
+
+def gibbs_cv_folds(
+    X,
+    y,
+    fold_masks,
+    model: str = "BayesC",
+    n_iter: int = None,
+    n_burnin: int = None,
+    seed: int = 42,
+    block_size: int = None,
+    r2: float = 0.5,
+    fix_sigma_e2: Optional[float] = None,
+    fix_sigma_b2: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold-batched Bayesian CV: F independent chains, one per {0,1} training
+    row mask, vmapped into ONE XLA program on one device.
+
+    Each chain is the EXACT Gibbs sampler on its fold's training subset —
+    masked rows of the centered panel are zero (they contribute nothing to
+    Xᵀr, the block Grams, or the residual), and the entry count n is
+    replaced by n_eff = Σmask in the intercept draw, the residual χ² degrees
+    of freedom, and the inits. This replaces per-fold executor jobs with one
+    batched program (cv/batched.py dispatches the Bayesian zoo through it);
+    the reference refits its sampler per fold in a Julia thread, each fit a
+    fresh Rscript+BGLR subprocess (src/cross_validation.jl:159-185,
+    src/bayes.jl:92-93).
+
+    Hyperparameters (BGLR R2-based scalings) are computed once from the full
+    panel rather than per fold — folds see ~ (1-1/k) of the data, so the
+    weakly-informative prior scales differ negligibly. Gaussian responses
+    only. Returns (mu_hat (F,), b_hat (F, p))."""
+    from ..utils.config import get_config
+
+    if model not in _MODEL_IDS:
+        raise ValueError(f"unknown Bayesian model {model!r}; choose from {BAYESIAN_MODELS}")
+    cfg = get_config()
+    n_iter = cfg.mcmc_n_iter if n_iter is None else n_iter
+    n_burnin = cfg.mcmc_n_burnin if n_burnin is None else n_burnin
+    block_size = cfg.mcmc_block_size if block_size is None else block_size
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    masks = np.asarray(fold_masks, dtype=np.float32)
+    if masks.ndim != 2 or masks.shape[1] != X.shape[0]:
+        raise ValueError(f"fold_masks must be (F, n={X.shape[0]}); got {masks.shape}")
+    if np.any(masks.sum(axis=1) < 2):
+        raise ValueError("every fold needs >= 2 training rows")
+    n, p = X.shape
+    bs = int(min(block_size, max(8, p)))
+    group_size = int(cfg.mcmc_group_size)
+    indicator = model in ("BayesB", "BayesC", "BLPi", "BayesTPi")
+    if indicator and cfg.mcmc_indicator_update in ("auto", "grouped") and group_size > 1:
+        group_size = min(group_size, bs)
+        bs = ((bs + group_size - 1) // group_size) * group_size
+    else:
+        group_size = 0
+    p_pad = ((p + bs - 1) // bs) * bs
+    Xp = np.zeros((n, p_pad), dtype=np.float32)
+    Xp[:, :p] = X
+    valid = np.zeros(p_pad, dtype=np.float32)
+    valid[:p] = 1.0
+
+    var_y = float(np.var(y, ddof=1))
+    ms_x = max(float(np.sum(np.var(X, axis=0))), 1e-8)
+    df_b, df_e = 5.0, 5.0
+    pi_in = 0.5 if indicator else 1.0
+    S_b0 = var_y * r2 / ms_x * (df_b + 2.0) / pi_in
+    if model in ("BayesT", "BayesTPi"):
+        df_b, S_b0 = 1.0, 1.0
+    pinned = fix_sigma_e2 is not None or fix_sigma_b2 is not None
+    if pinned and (fix_sigma_e2 is None or fix_sigma_b2 is None):
+        raise ValueError("fix_sigma_e2 and fix_sigma_b2 must be set together")
+    hyper = {
+        "df_b": jnp.float32(df_b),
+        "S_b0": jnp.float32(S_b0),
+        "df_e": jnp.float32(df_e),
+        "S_e0": jnp.float32(var_y * (1.0 - r2) * (df_e + 2.0)),
+        "pi_in": jnp.float32(pi_in),
+        "pi_counts": jnp.float32(10.0 if model in ("BayesB", "BayesC") else 2.0),
+        "lam2_0": jnp.float32(2.0 * (1.0 - r2) / r2 * ms_x / max(p, 1)),
+    }
+    if pinned:
+        hyper["fix_e"] = jnp.float32(fix_sigma_e2)
+        hyper["fix_b"] = jnp.float32(fix_sigma_b2)
+    keys = jax.random.split(jax.random.PRNGKey(seed), masks.shape[0])
+    run = partial(
+        _gibbs_chain,
+        hyper=hyper,
+        model_id=_MODEL_IDS[model],
+        n_iter=int(n_iter),
+        n_burnin=int(n_burnin),
+        block_size=bs,
+        n_blocks=p_pad // bs,
+        pinned=pinned,
+        group_size=group_size,
+        pallas_groups=False,
+    )
+    mus, bs_, _ = jax.vmap(
+        lambda key, mask: run(jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key, row_mask=mask)
+    )(keys, jnp.asarray(masks))
+    return (
+        np.asarray(mus, dtype=np.float64),
+        np.asarray(bs_, dtype=np.float64)[:, :p],
+    )
 
 
 def bglr(

@@ -44,8 +44,9 @@ def test_batched_argument_validation(sim_small):
         gbm.cvbulk_batched(genomes, phenomes, n_folds=0)
     with pytest.raises(ValueError):
         gbm.cvbulk_batched(genomes, phenomes, n_replications=0)
+    # bayesa/b/c and BRR are batched since round 4; mlp remains zoo-only.
     with pytest.raises(ValueError, match="batched CV model"):
-        gbm.cvbulk_batched(genomes, phenomes, models=("bayesa",))
+        gbm.cvbulk_batched(genomes, phenomes, models=("mlp",))
 
 
 def test_batched_gblup_and_lasso_engines(sim_small):
@@ -143,3 +144,70 @@ def test_mesh_batched_speedup_over_serial_dispatch(sim_small):
     t_serial = time.perf_counter() - t0
     assert len(cvs_b) == len(cvs_s) == 25
     assert t_serial / t_batched > 3.0, (t_serial, t_batched)
+
+
+def test_gibbs_cv_folds_matches_conjugate_oracle_per_fold():
+    """Row-masked fold chains (one vmapped program) are the EXACT sampler on
+    each fold's training subset: with pinned variances every fold's
+    posterior mean must converge to that fold's closed-form conjugate
+    Gaussian mean."""
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_cv_folds
+
+    rng = np.random.default_rng(3)
+    n, p, F = 60, 40, 3
+    X = rng.uniform(size=(n, p)).astype(np.float32)
+    b_true = rng.normal(size=p) * (rng.uniform(size=p) < 0.3)
+    y = (X @ b_true + 0.5 * rng.normal(size=n)).astype(np.float32)
+    sig_e2, sig_b2 = 0.5, 0.05
+    labels = rng.integers(0, F, size=n)
+    masks = np.stack([(labels != f).astype(np.float32) for f in range(F)])
+    mus, betas = gibbs_cv_folds(
+        X, y, masks, model="BRR", n_iter=4200, n_burnin=200, seed=17,
+        fix_sigma_e2=sig_e2, fix_sigma_b2=sig_b2,
+    )
+    for f in range(F):
+        tr = masks[f].astype(bool)
+        Z = X[tr] - X[tr].mean(axis=0)
+        A = Z.T @ Z / sig_e2 + np.eye(p) / sig_b2
+        b_star = np.linalg.solve(A, Z.T @ y[tr] / sig_e2)
+        mu_star = y[tr].mean() - X[tr].mean(axis=0) @ b_star
+        cor = np.corrcoef(mus[f] + X @ betas[f], mu_star + X @ b_star)[0, 1]
+        assert cor > 0.999, (f, cor)
+
+    with pytest.raises(ValueError):
+        gibbs_cv_folds(X, y, masks[:, :10], model="BRR", n_iter=10)
+    with pytest.raises(ValueError):
+        gibbs_cv_folds(X, y, np.zeros_like(masks), model="BRR", n_iter=10)
+
+
+def test_cvbulk_batched_bayesian_models():
+    """The batched engine's Bayesian branch: fold semantics match the
+    closed-form models' (same mask builder), accuracy is sane on a simulated
+    additive trait, and predict() works off the stored effects."""
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.cv.batched import cvbulk_batched
+
+    genomes = gbm.simulate_genomes(n=72, l=300, seed=19)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.6, 0.0, 0.0]]), seed=19
+    )
+    phenomes = gbm.extract_phenomes(trials)
+    cvs, notes = cvbulk_batched(
+        genomes, phenomes, models=("bayesc", "ridge"),
+        n_replications=1, n_folds=3, seed=5, mcmc_n_iter=400, mcmc_n_burnin=150,
+    )
+    by_model = {}
+    for cv in cvs:
+        by_model.setdefault(cv.fit.model, []).append(cv)
+    assert set(by_model) == {"bayesc", "ridge"}
+    assert len(by_model["bayesc"]) == len(by_model["ridge"]) == 3
+    # fold composition identical across models (same mask builder + seed)
+    for a, b in zip(by_model["bayesc"], by_model["ridge"]):
+        assert list(a.validation_entries) == list(b.validation_entries)
+    mean_cor = np.mean([cv.metrics["cor"] for cv in by_model["bayesc"]])
+    assert mean_cor > 0.3, mean_cor
+    # stored effects drive predict()
+    cv0 = by_model["bayesc"][0]
+    idx = [list(genomes.entries).index(e) for e in cv0.validation_entries]
+    yhat = gbm.predict(fit=cv0.fit, genomes=genomes, idx_entries=idx)
+    np.testing.assert_allclose(yhat, cv0.y_pred, rtol=1e-4, atol=1e-5)
