@@ -22,6 +22,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles several hundred distinct XLA CPU programs in one
+    process; with all of them held live, the CPU backend's compiler
+    segfaulted reproducibly near the ~190th compile (backend_compile_and_load
+    — observed in test_sharded_gibbs when run AFTER the rest of the suite,
+    never in isolation). Dropping executables between modules keeps the
+    in-process compiler state bounded; each module's own tests still share
+    compiles within the module.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def sim_small():
     """Small simulated dataset shared across tests (n=100, l=1000)."""
