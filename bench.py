@@ -521,7 +521,19 @@ SECTION_FLOOR = {
 SECTION_CAP = 600  # hard per-section subprocess timeout ceiling
 
 
-def _run_section(name: str) -> None:
+def _run_section(names: str) -> None:
+    """Run one or more (comma-separated) sections in THIS process.
+
+    Sections are grouped so the suite pays jax/tunnel backend init as few
+    times as possible — observed init is bimodal through the axon tunnel
+    (~15 s normally, 100-500 s under congestion), and with one subprocess
+    per section a congested evening spent the whole 540 s budget on inits
+    alone. Between sections the group honors the parent's absolute deadline
+    (GBM_BENCH_DEADLINE, epoch seconds) minus each section's floor. A
+    failure in one section is caught and the group moves on (the reason the
+    groups are still separate processes at all is HBM poisoning: a
+    RESOURCE_EXHAUSTED once wedged every subsequent device call in-process).
+    """
     import jax
 
     # Persistent compilation cache: the big sampler/CV programs take minutes
@@ -538,7 +550,20 @@ def _run_section(name: str) -> None:
         # does not override it (see tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform == "tpu"
-    SECTIONS[name](on_tpu)
+    deadline = float(os.environ.get("GBM_BENCH_DEADLINE", "0") or 0)
+    for name in names.split(","):
+        if deadline and name != "headline":
+            remaining = deadline - time.time()
+            if remaining < SECTION_FLOOR[name]:
+                note(
+                    f"# bench section {name} SKIPPED in-group: {remaining:.0f}s "
+                    f"left < floor {SECTION_FLOOR[name]}s"
+                )
+                continue
+        try:
+            SECTIONS[name](on_tpu)
+        except Exception as err:  # keep the rest of the group alive
+            note(f"# bench section {name} failed in-group: {err!r:.300}")
 
 
 def main() -> None:
@@ -547,48 +572,76 @@ def main() -> None:
     budget = float(os.environ.get("GBM_BENCH_BUDGET", "540"))
     t_start = time.perf_counter()
 
-    # Each section runs in its OWN subprocess: an OOM (or a wedged tunnel
-    # device) in one section must not poison the others' HBM — observed: a
-    # single RESOURCE_EXHAUSTED left the device allocator unusable for every
-    # subsequent call in the same process, down to a scalar PRNGKey.
+    # Sections run in GROUPED subprocesses: groups isolate HBM poisoning (a
+    # RESOURCE_EXHAUSTED once left the device allocator unusable for every
+    # subsequent call in the same process) while paying the tunnel's jax
+    # backend init — bimodal, ~15 s normal but 100-500 s under congestion —
+    # only once per group instead of once per section.
     #
-    # The HEADLINE runs FIRST (so it survives any outer wall-clock kill of
-    # the full suite) and its line is RE-EMITTED after every section so the
-    # LAST printed JSON line is always the headline metric.
+    # The HEADLINE runs FIRST in its own subprocess (so it survives any
+    # outer wall-clock kill of the full suite) and its line is RE-EMITTED
+    # after every group so the LAST printed JSON line is always the
+    # headline metric.
     if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1":
-        names = ["headline"]
+        groups = [["headline"]]
     else:
-        names = list(SECTIONS)
+        groups = [
+            ["headline"],
+            ["northstar", "sampler", "gwas"],
+            ["diskstream", "epistasis", "cv"],
+        ]
         if os.environ.get("GBM_BENCH_DISK", "1") == "0":
-            names.remove("diskstream")
+            groups[2].remove("diskstream")
     headline_line = None
-    for name in names:
+    for gi, group in enumerate(groups):
         remaining = budget - (time.perf_counter() - t_start)
-        if name != "headline" and remaining < SECTION_FLOOR[name]:
+        group = [
+            nm for nm in group
+            if nm == "headline" or remaining >= SECTION_FLOOR[nm]
+        ] or None
+        if group is None:
             note(
-                f"# bench section {name} SKIPPED: {remaining:.0f}s left of "
-                f"GBM_BENCH_BUDGET={budget:.0f}s < floor {SECTION_FLOOR[name]}s"
+                f"# bench group SKIPPED: {remaining:.0f}s left of "
+                f"GBM_BENCH_BUDGET={budget:.0f}s under every section floor"
             )
             continue
-        timeout_s = SECTION_CAP if name == "headline" else max(60, min(SECTION_CAP, remaining))
+        is_headline = group == ["headline"]
+        if is_headline:
+            timeout_s = SECTION_CAP
+        else:
+            # Split what's left across this and the LATER non-headline
+            # groups, weighted by their floor sums, so an early group cannot
+            # starve the rest of the suite.
+            my_floor = sum(SECTION_FLOOR[nm] for nm in group)
+            later_floor = sum(
+                SECTION_FLOOR[nm] for g in groups[gi + 1:] for nm in g
+            )
+            share = remaining * my_floor / max(my_floor + later_floor, 1)
+            timeout_s = max(60, share)
+        env = dict(os.environ)
+        env["GBM_BENCH_DEADLINE"] = str(time.time() + timeout_s)
         try:
             r = subprocess.run(
-                [sys.executable, __file__, "--section", name],
+                [sys.executable, __file__, "--section", ",".join(group)],
                 timeout=timeout_s,
                 stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
                 text=True,
+                env=env,
             )
             out = (r.stdout or "").strip()
             if out:
                 print(out, flush=True)
-            if name == "headline" and out:
+            for ln in (r.stderr or "").splitlines():
+                if ln.startswith("#"):  # stage/skip notes only, not tracebacks
+                    note(ln)
+            if is_headline and out:
                 headline_line = out.splitlines()[-1]
             if r.returncode != 0:
-                note(f"# bench section {name} failed: exit {r.returncode}")
+                note(f"# bench group {group} failed: exit {r.returncode}")
         except subprocess.TimeoutExpired:
-            note(f"# bench section {name} timed out after {timeout_s:.0f}s")
-        if name != "headline" and headline_line:
+            note(f"# bench group {group} timed out after {timeout_s:.0f}s")
+        if not is_headline and headline_line:
             print(headline_line, flush=True)
     if headline_line is None:
         # The parse contract promises the last stdout line is the headline
