@@ -585,13 +585,17 @@ def main() -> None:
     if os.environ.get("GBM_BENCH_HEADLINE_ONLY", "0") == "1":
         groups = [["headline"]]
     else:
+        # TWO processes total: the guaranteed headline, then every other
+        # section sharing ONE backend init (the dominant cost under tunnel
+        # congestion). A section that wedges the device allocator only
+        # costs the sections after it — each is try/except'd in-group —
+        # which is no worse than the timeout it would otherwise cause.
         groups = [
             ["headline"],
-            ["northstar", "sampler", "gwas"],
-            ["diskstream", "epistasis", "cv"],
+            ["northstar", "sampler", "gwas", "diskstream", "epistasis", "cv"],
         ]
         if os.environ.get("GBM_BENCH_DISK", "1") == "0":
-            groups[2].remove("diskstream")
+            groups[1].remove("diskstream")
     headline_line = None
     for gi, group in enumerate(groups):
         remaining = budget - (time.perf_counter() - t_start)

@@ -319,6 +319,7 @@ def cvbulk_batched(
                     np.asarray(genomes.allele_frequencies, dtype=np.float32),
                     np.asarray(y), W, model=_GIBBS_MODEL_KEYS[model],
                     n_iter=mcmc_n_iter, n_burnin=mcmc_n_burnin, seed=seed,
+                    mesh=mesh,
                 )
                 preds_g = mus[None, :] + np.asarray(
                     genomes.allele_frequencies, dtype=np.float64

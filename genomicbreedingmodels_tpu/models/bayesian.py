@@ -92,7 +92,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size", "pallas_groups"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size", "pallas_groups", "vary_axes"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -116,6 +116,7 @@ def _gibbs_chain(
     group_size: int = 0,
     pallas_groups: bool = False,
     row_mask=None,
+    vary_axes: tuple = (),
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -134,15 +135,25 @@ def _gibbs_chain(
     def _psum(v):
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
 
-    def _vary(v):
-        # Mark marker-axis state as device-varying for shard_map's VMA typing
-        # (idempotent: pcast rejects already-varying inputs).
-        if axis_name is None:
+    def _pcast(v, axes):
+        if not axes:
             return v
         try:
-            return jax.lax.pcast(v, (axis_name,), to="varying")
-        except ValueError:
+            return jax.lax.pcast(v, axes, to="varying")
+        except ValueError:  # idempotent: pcast rejects already-varying inputs
             return v
+
+    def _vary_amb(v):
+        # Ambient mesh axes the WHOLE chain runs under (e.g. the fold axis
+        # of gibbs_cv_folds's mesh dispatch): there every carried component
+        # is device-varying, scalars included.
+        return _pcast(v, tuple(vary_axes))
+
+    def _vary(v):
+        # Marker-axis state under the marker-sharded sampler (replicated
+        # scalars like π/σ²ₑ stay replicated there — they come from psums),
+        # plus any ambient axes.
+        return _vary_amb(_pcast(v, () if axis_name is None else (axis_name,)))
 
     dev_ix = jax.lax.axis_index(axis_name) if axis_name is not None else 0
     n, p_pad = X.shape
@@ -763,20 +774,25 @@ def _gibbs_chain(
     if pinned:
         sig0 = hyper["fix_e"]
     s2_init = hyper["fix_b"] if pinned else S_b0 / jnp.maximum(df_b - 2.0, 0.5)
+    # Scalar/replicated inits are additionally marked varying over the
+    # AMBIENT axes only (no-op when there are none): under a fold-sharded
+    # shard_map even π and the posterior accumulators become device-varying
+    # after one sweep, while under the marker-sharded sampler they stay
+    # replicated (psum-derived) and must NOT be marked.
     state0 = (
         _vary(jnp.zeros(p_pad)),  # b
-        r0,  # r
+        _vary_amb(r0),  # r
         _vary(jnp.full((p_pad,), s2_init)),  # s2
-        sig0,  # sig_e2
-        mu0,  # mu
-        pi_in0,  # pi
-        jnp.where(is_bl, hyper["lam2_0"], S_b0),  # S_scale / λ²
+        _vary_amb(sig0 * jnp.ones(())),  # sig_e2
+        _vary_amb(mu0 * jnp.ones(())),  # mu
+        _vary_amb(pi_in0 * jnp.ones(())),  # pi
+        _vary_amb(jnp.where(is_bl, hyper["lam2_0"], S_b0)),  # S_scale / λ²
         key,
         _vary(jnp.zeros(p_pad)),
-        0.0,
-        0.0,
-        z0,
-        gam0,
+        _vary_amb(jnp.zeros(())),
+        _vary_amb(jnp.zeros(())),
+        _vary_amb(z0),
+        _vary_amb(gam0),
     )
     # Segmented execution: `state_in` resumes a chain mid-run and `iters`
     # carries the GLOBAL iteration indices (burn-in accounting stays right);
@@ -1026,9 +1042,13 @@ def gibbs_cv_folds(
     r2: float = 0.5,
     fix_sigma_e2: Optional[float] = None,
     fix_sigma_b2: Optional[float] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fold-batched Bayesian CV: F independent chains, one per {0,1} training
-    row mask, vmapped into ONE XLA program on one device.
+    row mask, vmapped into ONE XLA program — on one device, or with the fold
+    axis partitioned over `mesh`'s first axis (each device vmaps its local
+    folds; X/y ride along replicated, zero cross-device traffic during the
+    sweep).
 
     Each chain is the EXACT Gibbs sampler on its fold's training subset —
     masked rows of the centered panel are zero (they contribute nothing to
@@ -1109,9 +1129,33 @@ def gibbs_cv_folds(
         group_size=group_size,
         pallas_groups=False,
     )
-    mus, bs_, _ = jax.vmap(
-        lambda key, mask: run(jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key, row_mask=mask)
-    )(keys, jnp.asarray(masks))
+    def fold_batch(keys_b, masks_b, vary_axes=()):
+        return jax.vmap(
+            lambda key, mask: run(
+                jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key,
+                row_mask=mask, vary_axes=vary_axes,
+            )
+        )(keys_b, masks_b)[:2]
+
+    F = masks.shape[0]
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = list(mesh.shape.keys())[0]
+        D = mesh.shape[axis]
+        Fp = ((F + D - 1) // D) * D
+        if Fp != F:  # pad with all-training dummy folds; results discarded
+            masks = np.concatenate([masks, np.ones((Fp - F, n), np.float32)])
+            keys = jax.random.split(jax.random.PRNGKey(seed), Fp)
+        mus, bs_ = shard_map(
+            partial(fold_batch, vary_axes=(axis,)), mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )(keys, jnp.asarray(masks))
+        mus, bs_ = mus[:F], bs_[:F]
+    else:
+        mus, bs_ = fold_batch(keys, jnp.asarray(masks))
     return (
         np.asarray(mus, dtype=np.float64),
         np.asarray(bs_, dtype=np.float64)[:, :p],

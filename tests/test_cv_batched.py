@@ -211,3 +211,26 @@ def test_cvbulk_batched_bayesian_models():
     idx = [list(genomes.entries).index(e) for e in cv0.validation_entries]
     yhat = gbm.predict(fit=cv0.fit, genomes=genomes, idx_entries=idx)
     np.testing.assert_allclose(yhat, cv0.y_pred, rtol=1e-4, atol=1e-5)
+
+
+def test_gibbs_cv_folds_mesh_matches_single_device():
+    """Fold-sharded masked chains over the mesh: identical fold keys run the
+    identical per-fold program, so results must match the single-device vmap
+    to f32 reduction noise — including with fold-count padding (F=6 over 8
+    devices)."""
+    import jax
+    from jax.sharding import Mesh
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_cv_folds
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    rng = np.random.default_rng(4)
+    n, p, F = 48, 64, 6
+    X = rng.uniform(size=(n, p)).astype(np.float32)
+    y = (X[:, :8] @ rng.normal(size=8) + rng.normal(size=n)).astype(np.float32)
+    labels = rng.integers(0, F, size=n)
+    masks = np.stack([(labels != f).astype(np.float32) for f in range(F)])
+    kw = dict(model="BayesC", n_iter=120, n_burnin=40, seed=9)
+    mus0, b0 = gibbs_cv_folds(X, y, masks, **kw)
+    mus1, b1 = gibbs_cv_folds(X, y, masks, mesh=mesh, **kw)
+    np.testing.assert_allclose(mus1, mus0, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(b1, b0, rtol=2e-3, atol=2e-4)
