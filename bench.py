@@ -643,7 +643,16 @@ def main() -> None:
                 headline_line = out.splitlines()[-1]
             if r.returncode != 0:
                 note(f"# bench group {group} failed: exit {r.returncode}")
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # Salvage whatever the group printed before the deadline —
+            # sections emit (flushed) as they finish, so finished sections'
+            # metrics survive the kill.
+            out = e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            out = out.strip()
+            if out:
+                print(out, flush=True)
             note(f"# bench group {group} timed out after {timeout_s:.0f}s")
         if not is_headline and headline_line:
             print(headline_line, flush=True)
