@@ -53,6 +53,10 @@ def fmt(m):
         return f"**{v / 1e3:.0f}k marker-updates/s**"
     if u == "markers/s":
         return f"**{v:,.0f} markers/s**"
+    if u == "pairs/s":
+        return f"**{v / 1e6:.0f}M pairs/s**"
+    if u == "ESS/s":
+        return f"**{v:.1f} ESS/s**"
     if u == "s":
         return f"**{v:.1f} s**"
     return f"**{v} {u}**"
