@@ -348,9 +348,30 @@ def bench_epistasis(on_tpu: bool) -> None:
     out = transform2(mult, genomes, phenomes, **kw)
     dt = time.perf_counter() - t0
     assert out.allele_frequencies.shape[1] > 0
+    # Attribute the end-to-end number: time the device scan alone (the
+    # remainder is host prep + the panel h2d, which through the tunnel's
+    # ~30 MB/s link is the larger share; on direct-attached hardware the
+    # 33 MB upload is ~3 ms).
+    import jax.numpy as jnp
+    from genomicbreedingmodels_tpu.features.transform import _pairs_topk_single
+
+    Xd = jnp.asarray(freq.astype(np.float32))
+    ymd = jnp.asarray((y - y.mean()).astype(np.float32))
+    okd = jnp.asarray(np.ones(l, bool))
+    args = (Xd, ymd, okd, "mult", False, 1_000, 128)
+    float(_pairs_topk_single(*args)[0][0])  # compile + warm
+    t0 = time.perf_counter()
+    float(_pairs_topk_single(*args)[0][0])
+    dt_scan = time.perf_counter() - t0
+    note(
+        f"# epistasis stages: device scan={dt_scan:.2f}s "
+        f"({l * l / dt_scan / 1e6:.0f}M pairs/s scan-only); end-to-end={dt:.2f}s "
+        f"(rest = host prep + {n * l * 4 / 1e6:.0f} MB panel h2d over the tunnel)"
+    )
     emit(
         f"epistasis pair-scan pairs/s (transform2 mult, n={n}, l={l}, "
-        f"l^2={l * l / 1e6:.0f}M ordered pairs, 3-GEMM slopes + device top-k, warm)",
+        f"l^2={l * l / 1e6:.0f}M ordered pairs, 3-GEMM slopes + device top-k, "
+        f"end-to-end warm incl. h2d; scan-only {l * l / dt_scan / 1e9:.2f}G pairs/s)",
         l * l / dt,
         "pairs/s",
     )

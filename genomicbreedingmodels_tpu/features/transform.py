@@ -114,49 +114,30 @@ def transform1(
 
 def _beta_mask_topk(beta, okb, okall, row0, commutative: bool, k: int):
     """Zero masked/lower-triangle slopes, then take the block's top-k |slope|
-    on device: only k (value, flat-index) pairs are returned to the host."""
-    l = beta.shape[1]
+    on device: only k (value, flat-index) pairs are returned to the host.
+
+    EXACT two-stage top-k: per-row top-min(k, l) over the lane axis first,
+    then one flat top-k over the bi·k survivors. The block's true top-k is a
+    subset of the per-row top-k union, so this equals the flat top-k over
+    all bi·l slopes — but XLA's TopK lowers to a sort, and sorting the full
+    33.5M-element block was the measured bottleneck of the whole pair scan
+    (≈2.3 s of the 2.3 s block loop at l=16384; the three GEMMs are ~10 ms).
+    """
+    bi, l = beta.shape
     beta = jnp.where(okb[:, None] & okall[None, :], beta, 0.0)
     if commutative:
-        rows = row0 + jnp.arange(beta.shape[0])
+        rows = row0 + jnp.arange(bi)
         beta = jnp.where(jnp.arange(l)[None, :] < rows[:, None], 0.0, beta)
+    k_row = min(k, l)
+    if bi * k_row < bi * l:
+        vals_r, idx_r = jax.lax.top_k(jnp.abs(beta), k_row)  # (bi, k_row)
+        flat_idx = (jnp.arange(bi, dtype=jnp.int32)[:, None] * l + idx_r).reshape(-1)
+        cand = jnp.take_along_axis(beta, idx_r, axis=1).reshape(-1)
+        _, sel = jax.lax.top_k(vals_r.reshape(-1), k)
+        return cand[sel], flat_idx[sel]
     flat = beta.reshape(-1)
     _, idx = jax.lax.top_k(jnp.abs(flat), k)
     return flat[idx], idx
-
-
-@partial(jax.jit, static_argnames=("commutative", "k"))
-def _mult_block_topk(Xblk, Xj, ymj, okb, okall, row0, commutative: bool, k: int):
-    """All-pairs simple-regression slopes for t = x_a ∘ x_j via three GEMMs:
-    Σ t̃ ym = (X_blk∘ym)ᵀX (ym centered ⇒ the mean term vanishes),
-    Σ t = X_blkᵀX, Σ t² = (X_blk²)ᵀ(X²). The reference's O(l²·n) hottest
-    loop (src/transformation.jl:319-468) as pure MXU work — the (n, bi·l)
-    pair tensor is never materialized."""
-    n = Xj.shape[0]
-    Nm = jnp.dot((Xblk * ymj[:, None]).T, Xj, preferred_element_type=jnp.float32)
-    S1 = jnp.dot(Xblk.T, Xj, preferred_element_type=jnp.float32)
-    Q = jnp.dot((Xblk * Xblk).T, Xj * Xj, preferred_element_type=jnp.float32)
-    den = Q - S1 * S1 / n
-    beta = Nm / jnp.maximum(den, 1e-30)
-    return _beta_mask_topk(beta, okb, okall, row0, commutative, k)
-
-
-@partial(jax.jit, static_argnames=("commutative", "k"))
-def _addnorm_block_topk(Xblk, Xj, ymj, okb, okall, row0, commutative: bool, k: int):
-    """All-pairs slopes for t = (x_a + x_j)/2: one GEMM (X_blkᵀX) plus
-    rank-1 vector terms."""
-    n = Xj.shape[0]
-    u = jnp.dot(Xj.T, ymj, preferred_element_type=jnp.float32)
-    s = jnp.sum(Xj, axis=0)
-    q = jnp.sum(Xj * Xj, axis=0)
-    cols = row0 + jnp.arange(Xblk.shape[1])
-    S1 = jnp.dot(Xblk.T, Xj, preferred_element_type=jnp.float32)
-    num = 0.5 * (u[cols][:, None] + u[None, :])
-    st = 0.5 * (s[cols][:, None] + s[None, :])
-    st2 = 0.25 * (q[cols][:, None] + 2.0 * S1 + q[None, :])
-    den = st2 - st * st / n
-    beta = num / jnp.maximum(den, 1e-30)
-    return _beta_mask_topk(beta, okb, okall, row0, commutative, k)
 
 
 @partial(jax.jit, static_argnames=("f", "commutative", "k"))
@@ -190,67 +171,14 @@ def _pairs_topk_sharded(
     n, l_pad = Xp.shape
     D = mesh.shape[axis]
     lp = l_pad // D
-    n_chunks = lp // rows_per_chunk
 
     def kernel(Xl, Xfull, ym, okl, okfull):
         dev = jax.lax.axis_index(axis)
-        row_dev0 = dev * lp
-
-        def chunk_step(carry, c):
-            tv, tr, tc = carry
-            r0 = c * rows_per_chunk
-            Xblk = jax.lax.dynamic_slice(Xl, (0, r0), (n, rows_per_chunk))
-            okb = jax.lax.dynamic_slice(okl, (r0,), (rows_per_chunk,))
-            row0 = row_dev0 + r0
-            if kern_name == "mult":
-                Nm = jnp.dot((Xblk * ym[:, None]).T, Xfull, preferred_element_type=jnp.float32)
-                S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
-                Q = jnp.dot((Xblk * Xblk).T, Xfull * Xfull, preferred_element_type=jnp.float32)
-                den = Q - S1 * S1 / n
-                beta = Nm / jnp.maximum(den, 1e-30)
-            else:  # addnorm
-                u = jnp.dot(Xfull.T, ym, preferred_element_type=jnp.float32)
-                s = jnp.sum(Xfull, axis=0)
-                q = jnp.sum(Xfull * Xfull, axis=0)
-                ub = jax.lax.dynamic_slice(u, (row_dev0 + r0,), (rows_per_chunk,))
-                sb = jax.lax.dynamic_slice(s, (row_dev0 + r0,), (rows_per_chunk,))
-                qb = jax.lax.dynamic_slice(q, (row_dev0 + r0,), (rows_per_chunk,))
-                S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
-                num = 0.5 * (ub[:, None] + u[None, :])
-                st = 0.5 * (sb[:, None] + s[None, :])
-                st2 = 0.25 * (qb[:, None] + 2.0 * S1 + q[None, :])
-                den = st2 - st * st / n
-                beta = num / jnp.maximum(den, 1e-30)
-            beta = jnp.where(okb[:, None] & okfull[None, :], beta, 0.0)
-            if commutative:
-                rows = row0 + jnp.arange(rows_per_chunk)
-                beta = jnp.where(jnp.arange(l_pad)[None, :] < rows[:, None], 0.0, beta)
-            flat = beta.reshape(-1)
-            _, bi = jax.lax.top_k(jnp.abs(flat), k)
-            # Carry (row, col) as separate int32s: a flat l_pad² index would
-            # overflow int32 beyond l≈46k and x64 is disabled under jit.
-            grow = (row0 + bi // l_pad).astype(jnp.int32)
-            gcol = (bi % l_pad).astype(jnp.int32)
-            mv = jnp.concatenate([tv, flat[bi]])
-            mr = jnp.concatenate([tr, grow])
-            mc = jnp.concatenate([tc, gcol])
-            _, sel = jax.lax.top_k(jnp.abs(mv), k)
-            return (mv[sel], mr[sel], mc[sel]), None
-
-        def _vary(v):
-            # shard_map VMA typing: the carry becomes device-varying inside
-            # the scan, so the init must be marked varying too.
-            try:
-                return jax.lax.pcast(v, (axis,), to="varying")
-            except ValueError:
-                return v
-
-        init = (
-            _vary(jnp.zeros((k,), jnp.float32)),
-            _vary(jnp.zeros((k,), jnp.int32)),
-            _vary(jnp.zeros((k,), jnp.int32)),
+        tv, tr, tc = _chunk_topk_scan(
+            Xl, Xfull, ym, okl, okfull, dev * lp,
+            kern_name=kern_name, commutative=commutative, k=k,
+            rows_per_chunk=rows_per_chunk, vary_axis=axis,
         )
-        (tv, tr, tc), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
         return tv[None], tr[None], tc[None]
 
     vals, rows, cols = shard_map(
@@ -262,6 +190,102 @@ def _pairs_topk_sharded(
         np.asarray(vals).reshape(-1),
         np.asarray(rows, dtype=np.int64).reshape(-1),
         np.asarray(cols, dtype=np.int64).reshape(-1),
+    )
+
+
+def _chunk_topk_scan(
+    Xl, Xfull, ym, okl, okfull, row_dev0, *, kern_name: str,
+    commutative: bool, k: int, rows_per_chunk: int, vary_axis=None,
+):
+    """ONE device program for a row-range's whole pair scan: lax.scan over
+    row chunks, each chunk scoring its (rc × l_pad) slopes by the GEMM
+    formula and merging into an on-device running top-k. Only k (value,
+    row, col) triples ever reach the host — the round-3 host-side block
+    merge paid 2 tunnel readbacks per block (~0.1 s each under congestion),
+    which dominated the entire scan. Shared by the single-device path and
+    the shard_map kernel (`vary_axis` marks the carry device-varying).
+    Per-chunk top-k is the exact two-stage form (per-row, then merge):
+    XLA lowers TopK to a sort and sorting the flat chunk measured 3x the
+    GEMM cost."""
+    n = Xl.shape[0]
+    l_pad = Xfull.shape[1]
+    n_chunks = Xl.shape[1] // rows_per_chunk
+    k_row = min(k, l_pad)
+
+    def chunk_step(carry, c):
+        tv, tr, tc = carry
+        r0 = c * rows_per_chunk
+        Xblk = jax.lax.dynamic_slice(Xl, (0, r0), (n, rows_per_chunk))
+        okb = jax.lax.dynamic_slice(okl, (r0,), (rows_per_chunk,))
+        row0 = row_dev0 + r0
+        if kern_name == "mult":
+            Nm = jnp.dot((Xblk * ym[:, None]).T, Xfull, preferred_element_type=jnp.float32)
+            S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
+            Q = jnp.dot((Xblk * Xblk).T, Xfull * Xfull, preferred_element_type=jnp.float32)
+            den = Q - S1 * S1 / n
+            beta = Nm / jnp.maximum(den, 1e-30)
+        else:  # addnorm
+            u = jnp.dot(Xfull.T, ym, preferred_element_type=jnp.float32)
+            s = jnp.sum(Xfull, axis=0)
+            q = jnp.sum(Xfull * Xfull, axis=0)
+            ub = jax.lax.dynamic_slice(u, (row0,), (rows_per_chunk,))
+            sb = jax.lax.dynamic_slice(s, (row0,), (rows_per_chunk,))
+            qb = jax.lax.dynamic_slice(q, (row0,), (rows_per_chunk,))
+            S1 = jnp.dot(Xblk.T, Xfull, preferred_element_type=jnp.float32)
+            num = 0.5 * (ub[:, None] + u[None, :])
+            st = 0.5 * (sb[:, None] + s[None, :])
+            st2 = 0.25 * (qb[:, None] + 2.0 * S1 + q[None, :])
+            den = st2 - st * st / n
+            beta = num / jnp.maximum(den, 1e-30)
+        beta = jnp.where(okb[:, None] & okfull[None, :], beta, 0.0)
+        if commutative:
+            rows = row0 + jnp.arange(rows_per_chunk)
+            beta = jnp.where(jnp.arange(l_pad)[None, :] < rows[:, None], 0.0, beta)
+        # Exact two-stage top-k of the chunk (row-wise, then across rows).
+        vals_r, idx_r = jax.lax.top_k(jnp.abs(beta), k_row)  # (rc, k_row)
+        cand = jnp.take_along_axis(beta, idx_r, axis=1)
+        _, sel0 = jax.lax.top_k(vals_r.reshape(-1), min(k, rows_per_chunk * k_row))
+        # Carry (row, col) as separate int32s: a flat l_pad² index would
+        # overflow int32 beyond l≈46k and x64 is disabled under jit.
+        grow = (row0 + sel0 // k_row).astype(jnp.int32)
+        gcol = idx_r.reshape(-1)[sel0].astype(jnp.int32)
+        cv = cand.reshape(-1)[sel0]
+        pad = k - cv.shape[0]
+        if pad > 0:
+            cv = jnp.concatenate([cv, jnp.zeros((pad,), jnp.float32)])
+            grow = jnp.concatenate([grow, jnp.zeros((pad,), jnp.int32)])
+            gcol = jnp.concatenate([gcol, jnp.zeros((pad,), jnp.int32)])
+        mv = jnp.concatenate([tv, cv])
+        mr = jnp.concatenate([tr, grow])
+        mc = jnp.concatenate([tc, gcol])
+        _, sel = jax.lax.top_k(jnp.abs(mv), k)
+        return (mv[sel], mr[sel], mc[sel]), None
+
+    def _vary(v):
+        if vary_axis is None:
+            return v
+        try:  # shard_map VMA typing: the carry becomes device-varying
+            return jax.lax.pcast(v, (vary_axis,), to="varying")
+        except ValueError:
+            return v
+
+    init = (
+        _vary(jnp.zeros((k,), jnp.float32)),
+        _vary(jnp.zeros((k,), jnp.int32)),
+        _vary(jnp.zeros((k,), jnp.int32)),
+    )
+    (tv, tr, tc), _ = jax.lax.scan(chunk_step, init, jnp.arange(n_chunks))
+    return tv, tr, tc
+
+
+@partial(jax.jit, static_argnames=("kern_name", "commutative", "k", "rows_per_chunk"))
+def _pairs_topk_single(Xp, ymj, okp, kern_name: str, commutative: bool,
+                       k: int, rows_per_chunk: int):
+    """Whole single-device pair scan as ONE program (see _chunk_topk_scan)."""
+    return _chunk_topk_scan(
+        Xp, Xp, ymj, okp, okp, 0,
+        kern_name=kern_name, commutative=commutative, k=k,
+        rows_per_chunk=rows_per_chunk,
     )
 
 
@@ -302,19 +326,19 @@ def transform2(
     ymj = jnp.asarray(ym, jnp.float32)
     okj = jnp.asarray(ok)
     fname_dispatch = registry_name(f)
-    if fname_dispatch in ("mult", "addnorm"):
-        # GEMM blocks carry no (n, bi·l) pair tensor: use much larger blocks.
-        block = max(block, min(l, 2048))
-    kern = {
-        "mult": _mult_block_topk,
-        "addnorm": _addnorm_block_topk,
-    }.get(fname_dispatch)
 
-    if mesh is not None and kern is not None:
+    if fname_dispatch in ("mult", "addnorm"):
+        # GEMM kernels: the WHOLE scan is one device program (single device
+        # or mesh-sharded) with an on-device running top-k — a single host
+        # readback of k triples instead of 2 per block (through the tunnel
+        # the per-block readbacks dominated the entire scan).
         import math
 
-        axis = list(mesh.shape.keys())[-1]
-        D = mesh.shape[axis]
+        if mesh is not None:
+            axis = list(mesh.shape.keys())[-1]
+            D = mesh.shape[axis]
+        else:
+            D = 1
         rc = 128
         l_pad = int(math.ceil(l / (D * rc)) * D * rc)
         Xpad = np.zeros((n, l_pad), dtype=np.float32)
@@ -322,10 +346,19 @@ def transform2(
         okpad = np.zeros(l_pad, dtype=bool)
         okpad[:l] = ok
         k = int(min(k_cap, rc * l_pad))
-        vals, ii_all, jj_all = _pairs_topk_sharded(
-            jnp.asarray(Xpad), ymj, jnp.asarray(okpad), mesh, axis,
-            fname_dispatch, commutative, k, rc,
-        )
+        if mesh is not None:
+            vals, ii_all, jj_all = _pairs_topk_sharded(
+                jnp.asarray(Xpad), ymj, jnp.asarray(okpad), mesh, axis,
+                fname_dispatch, commutative, k, rc,
+            )
+        else:
+            tv, tr, tc = _pairs_topk_single(
+                jnp.asarray(Xpad), ymj, jnp.asarray(okpad),
+                fname_dispatch, commutative, k, rc,
+            )
+            vals = np.asarray(tv)
+            ii_all = np.asarray(tr, dtype=np.int64)
+            jj_all = np.asarray(tc, dtype=np.int64)
         real = (ii_all < l) & (jj_all < l)
         vals, ii_all, jj_all = vals[real], ii_all[real], jj_all[real]
         sel = np.argsort(-np.abs(vals), kind="stable")[:k_cap]
@@ -337,9 +370,10 @@ def transform2(
             f, X, sel_idx, l, eps, entries, populations, loci_alleles
         )
 
-    # Running top-k merge across blocks (flat index = i * l + j). Each block's
-    # candidate top-k is selected ON DEVICE (lax.top_k) so only k (value,
-    # index) pairs cross the host link per block instead of bi·l slopes.
+    # Generic (arbitrary f) path: running top-k merge across blocks (flat
+    # index = i * l + j). Each block's candidate top-k is selected ON DEVICE
+    # (lax.top_k) so only k (value, index) pairs cross the host link per
+    # block instead of bi·l slopes.
     top_idx = np.zeros(0, dtype=np.int64)
     top_beta = np.zeros(0, dtype=np.float64)
     for start in range(0, l, block):
@@ -347,10 +381,7 @@ def transform2(
         k = int(min(k_cap, bi * l))
         args = (Xj[:, start : start + bi], Xj, ymj, okj[start : start + bi], okj,
                 jnp.int32(start))
-        if kern is not None:
-            vals, idx = kern(*args, commutative=commutative, k=k)
-        else:
-            vals, idx = _generic_block_topk(f=f, *args, commutative=commutative, k=k)
+        vals, idx = _generic_block_topk(f=f, *args, commutative=commutative, k=k)
         cand_idx = np.int64(start) * l + np.asarray(idx, dtype=np.int64)
         merged_idx = np.concatenate([top_idx, cand_idx])
         merged_beta = np.concatenate([top_beta, np.asarray(vals, dtype=np.float64)])
