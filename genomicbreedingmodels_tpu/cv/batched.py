@@ -48,11 +48,12 @@ __all__ = ["cvbulk_batched"]
 
 BATCHED_MODELS = (
     "ridge", "gblup", "lasso",
-    # Bayesian zoo: F independent row-masked Gibbs chains vmapped into one
-    # XLA program (models/bayesian.py:gibbs_cv_folds) — the sampler CV path
-    # is batched like the closed-form models instead of dispatched as
-    # executor jobs.
-    "bayesa", "bayesb", "bayesc", "bayesian_ridge",
+    # Bayesian zoo (ALL eight priors): F independent row-masked Gibbs
+    # chains vmapped into one XLA program
+    # (models/bayesian.py:gibbs_cv_folds) — the sampler CV path is batched
+    # like the closed-form models instead of dispatched as executor jobs.
+    "bayesa", "bayesb", "bayesc", "bayesian_ridge", "bayesian_lasso",
+    "bayesian_lasso_pi", "bayest", "bayestpi",
 )
 
 _GIBBS_MODEL_KEYS = {
@@ -60,6 +61,10 @@ _GIBBS_MODEL_KEYS = {
     "bayesb": "BayesB",
     "bayesc": "BayesC",
     "bayesian_ridge": "BRR",
+    "bayesian_lasso": "BL",
+    "bayesian_lasso_pi": "BLPi",
+    "bayest": "BayesT",
+    "bayestpi": "BayesTPi",
 }
 
 

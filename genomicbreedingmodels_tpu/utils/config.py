@@ -17,7 +17,8 @@ class GBMConfig:
     mcmc_block_size: int = 256
     mcmc_n_iter: int = 1_500
     mcmc_n_burnin: int = 500
-    # Indicator-model within-block kernel (BayesB/C, BLπ, BayesTπ):
+    # Grouped within-block kernel (BayesB/C, BLπ, BayesTπ — and BL, which
+    # rides the same machinery degenerated to the single all-ones pattern):
     # "grouped" runs the exact collapsed 2^K-pattern draw
     # (K=mcmc_group_size) as an XLA scan — the fastest path through the
     # axon TPU tunnel. When the per-sweep pattern table fits

@@ -204,7 +204,17 @@ def test_segmented_chain_is_bit_identical_and_resumable(tmp_path):
 
 @pytest.mark.parametrize(
     "model,b_thr",
-    [("BayesC", 0.95), ("BayesB", 0.95), ("BLPi", 0.95), ("BayesTPi", 0.90)],
+    # BL rides the same grouped machinery degenerated to the single
+    # all-ones pattern (K-marker joint Gaussian draws) — equivalence AND
+    # stability on this p>n strong-LD panel (the full-block joint draw
+    # diverges for BL here; the K-marker draw must not).
+    # BL has NO per-effect agreement bar: under this panel's 8-marker LD
+    # blocks its shrinkage spreads effects arbitrarily among correlated
+    # markers — two SCALAR chains with different seeds measure effect
+    # correlation ≈ -0.07 while agreeing on GEBV to 0.996 — so only the
+    # GEBV/σ²ₑ invariants below are meaningful for it.
+    [("BayesC", 0.95), ("BayesB", 0.95), ("BLPi", 0.95), ("BayesTPi", 0.90),
+     ("BL", None)],
 )
 def test_grouped_indicator_matches_scalar_oracle(model, b_thr):
     """The grouped 2^K-pattern collapsed draw (VERDICT r2 item 2) targets the
@@ -234,12 +244,24 @@ def test_grouped_indicator_matches_scalar_oracle(model, b_thr):
     # different seeds agree no better), not kernel error. BayesTπ's fixed
     # Cauchy prior (df=1) gives the posterior-mean estimator heavy-tailed
     # sweep noise, so its per-effect agreement band is wider.
-    assert np.corrcoef(b_s, b_g)[0, 1] > b_thr
+    if b_thr is not None:
+        assert np.corrcoef(b_s, b_g)[0, 1] > b_thr
     gebv_s, gebv_g = X @ b_s, X @ b_g
     assert np.corrcoef(gebv_s, gebv_g)[0, 1] > 0.99
     # residual-variance posterior agreement (same stationary distribution)
     s2_s = float(np.mean(out["scalar"][2]["sigma_e2_trace"][200:]))
     s2_g = float(np.mean(out["grouped"][2]["sigma_e2_trace"][200:]))
-    assert abs(s2_s - s2_g) / s2_s < 0.25
+    if model == "BL":
+        # BL's σ²ₑ mixes at ESS ≈ 2-15 per 600 scalar sweeps here; measured
+        # arbitration at 6000 sweeps: scalar 6.70 vs grouped 6.93 (same
+        # posterior; the short scalar chains sit low). At 600 sweeps only a
+        # loose same-scale band is meaningful, plus stability (the
+        # full-block joint draw DIVERGES on this panel — σ²ₑ must stay
+        # bounded and effects finite).
+        assert 0.25 < s2_g / s2_s < 4.0
+        assert np.all(np.isfinite(b_g)) and np.all(np.isfinite(b_s))
+        assert np.all(out["grouped"][2]["sigma_e2_trace"] < 1e3)
+    else:
+        assert abs(s2_s - s2_g) / s2_s < 0.25
     with pytest.raises(ValueError):
         gibbs_regression(X, y, model=model, n_iter=10, indicator_update="nope")
