@@ -303,6 +303,15 @@ def bench_gwas(on_tpu: bool) -> None:
     fit = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(fit.b_hat))
+    tm = fit.extras.get("timings", {})
+    if tm:
+        # Attribution: "prep+grm" is dominated by the one 256 MB f32 panel
+        # h2d over the tunnel (~30 MB/s; ~25 ms direct-attached); the scan
+        # stage is the actual REML compute.
+        note(
+            "# gwas stages: "
+            + " ".join(f"{k}={v['total_s']:.1f}s" for k, v in tm.items())
+        )
     emit(
         f"GWAS-REML markers/s incl. GRM+eigh (n={n}, p={p}, per-marker 2-VC REML, warm)",
         len(fit.b_hat) / dt,
