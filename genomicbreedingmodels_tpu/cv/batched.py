@@ -293,7 +293,6 @@ def cvbulk_batched(
     for idx_trait, trait in enumerate(phenomes.traits.tolist()):
         phi = np.asarray(phenomes.phenotypes[:, idx_trait], dtype=np.float64)
         finite = np.isfinite(phi)
-        y = jnp.asarray(np.where(finite, phi, 0.0), jnp.float32)
         # Build ALL (replication, fold) masks for this trait up front: the
         # whole sweep is then F = reps × folds device problems in one batch.
         w_list, v_list, tags = [], [], []
@@ -310,72 +309,96 @@ def cvbulk_batched(
                     continue
                 w_list.append(tr_mask.astype(np.float32))
                 v_list.append(va_mask.astype(np.float32))
-                tags.append((i, j))
+                tags.append((f"replication_{i}", f"fold_{j}"))
         if not w_list:
             continue
-        W = np.stack(w_list)
-        V = np.stack(v_list)
-
-        for model in models:
-            if model in _GIBBS_MODEL_KEYS:
-                from ..models.bayesian import gibbs_cv_folds
-
-                mus, betas = gibbs_cv_folds(
-                    np.asarray(genomes.allele_frequencies, dtype=np.float32),
-                    np.asarray(y), W, model=_GIBBS_MODEL_KEYS[model],
-                    n_iter=mcmc_n_iter, n_burnin=mcmc_n_burnin, seed=seed,
-                    mesh=mesh,
-                )
-                preds_g = mus[None, :] + np.asarray(
-                    genomes.allele_frequencies, dtype=np.float64
-                ) @ betas.T.astype(np.float64)  # (n, F) -> below indexed [:, f]
-                for f, (i, j) in enumerate(tags):
-                    cvs.append(
-                        _emit_gibbs(
-                            genomes, phi, W[f], V[f], preds_g[:, f],
-                            float(mus[f]), betas[f], model, str(trait), i, j,
-                            store_effects,
-                        )
-                    )
-            elif model in ("ridge", "gblup"):
-                grid = lambdas_j if model == "ridge" else ratio_grid
-                grid_np = np.asarray(lambdas) if model == "ridge" else np.asarray(ratio_grid, dtype=np.float64)
-                preds, gammas, crit = _solve_folds(K, y, W, grid, mesh, model)
-                best = np.argmin(crit, axis=1)
-                for f, (i, j) in enumerate(tags):
-                    cvs.append(
-                        _emit_dual(
-                            genomes, phi, W[f], V[f], preds[f, best[f]],
-                            gammas[f, best[f]], Z, model, str(trait), i, j,
-                            float(grid_np[best[f]]), store_effects,
-                        )
-                    )
-            else:  # lasso
-                if lasso_lams is None:
-                    from ..ops.linalg import make_lambda_grid
-
-                    finite_any = np.isfinite(phi)
-                    lasso_lams = jnp.asarray(
-                        make_lambda_grid(
-                            np.asarray(genomes.allele_frequencies)[finite_any],
-                            phi[finite_any], n_lambda=16, alpha=1.0,
-                        ),
-                        jnp.float32,
-                    )
-                preds_l, B_l, crit_l, b0_l = _lasso_folds(X, y, W, lasso_lams, mesh)
-                best_l = np.argmin(crit_l, axis=1)
-                for f, (i, j) in enumerate(tags):
-                    bidx = int(best_l[f])
-                    cvs.append(
-                        _emit_lasso(
-                            genomes, phi, W[f], V[f],
-                            np.asarray(preds_l[f, bidx], dtype=np.float64),
-                            np.asarray(B_l[f, :, bidx], dtype=np.float64),
-                            float(b0_l[f, bidx]), str(trait), i, j,
-                            float(np.asarray(lasso_lams)[bidx]), store_effects,
-                        )
-                    )
+        cvs.extend(
+            _run_models_on_masks(
+                genomes, phi, str(trait), np.stack(w_list), np.stack(v_list),
+                tags, models, X=X, K=K, Z=Z, lambdas=lambdas,
+                lambdas_j=lambdas_j, ratio_grid=ratio_grid, mesh=mesh,
+                store_effects=store_effects, seed=seed,
+                mcmc_n_iter=mcmc_n_iter, mcmc_n_burnin=mcmc_n_burnin,
+            )
+        )
     return cvs, notes
+
+
+def _run_models_on_masks(
+    genomes, phi, trait, W, V, tags, models, *, X, K, Z, lambdas, lambdas_j,
+    ratio_grid, mesh, store_effects, seed, mcmc_n_iter, mcmc_n_burnin,
+) -> List[CV]:
+    """Run every model over one batch of (train, val) mask pairs.
+
+    The shared engine behind `cvbulk_batched` and the batched population CV
+    modes: a "fold" is ANY {0,1} training/validation mask pair, so the same
+    masked-Gram / FISTA / row-masked-Gibbs machinery serves replicated
+    k-fold, pairwise-population, and leave-one-population-out sweeps. `tags`
+    carries the (replication, fold) strings verbatim into the CV structs.
+    """
+    finite = np.isfinite(phi)
+    y = jnp.asarray(np.where(finite, phi, 0.0), jnp.float32)
+    cvs: List[CV] = []
+    lasso_lams = None
+    for model in models:
+        if model in _GIBBS_MODEL_KEYS:
+            from ..models.bayesian import gibbs_cv_folds
+
+            mus, betas = gibbs_cv_folds(
+                np.asarray(genomes.allele_frequencies, dtype=np.float32),
+                np.asarray(y), W, model=_GIBBS_MODEL_KEYS[model],
+                n_iter=mcmc_n_iter, n_burnin=mcmc_n_burnin, seed=seed,
+                mesh=mesh,
+            )
+            preds_g = mus[None, :] + np.asarray(
+                genomes.allele_frequencies, dtype=np.float64
+            ) @ betas.T.astype(np.float64)  # (n, F) -> below indexed [:, f]
+            for f, (rep, fold) in enumerate(tags):
+                cvs.append(
+                    _emit_gibbs(
+                        genomes, phi, W[f], V[f], preds_g[:, f],
+                        float(mus[f]), betas[f], model, trait, rep, fold,
+                        store_effects,
+                    )
+                )
+        elif model in ("ridge", "gblup"):
+            grid = lambdas_j if model == "ridge" else ratio_grid
+            grid_np = np.asarray(lambdas) if model == "ridge" else np.asarray(ratio_grid, dtype=np.float64)
+            preds, gammas, crit = _solve_folds(K, y, W, grid, mesh, model)
+            best = np.argmin(crit, axis=1)
+            for f, (rep, fold) in enumerate(tags):
+                cvs.append(
+                    _emit_dual(
+                        genomes, phi, W[f], V[f], preds[f, best[f]],
+                        gammas[f, best[f]], Z, model, trait, rep, fold,
+                        float(grid_np[best[f]]), store_effects,
+                    )
+                )
+        else:  # lasso
+            if lasso_lams is None:
+                from ..ops.linalg import make_lambda_grid
+
+                lasso_lams = jnp.asarray(
+                    make_lambda_grid(
+                        np.asarray(genomes.allele_frequencies)[finite],
+                        phi[finite], n_lambda=16, alpha=1.0,
+                    ),
+                    jnp.float32,
+                )
+            preds_l, B_l, crit_l, b0_l = _lasso_folds(X, y, W, lasso_lams, mesh)
+            best_l = np.argmin(crit_l, axis=1)
+            for f, (rep, fold) in enumerate(tags):
+                bidx = int(best_l[f])
+                cvs.append(
+                    _emit_lasso(
+                        genomes, phi, W[f], V[f],
+                        np.asarray(preds_l[f, bidx], dtype=np.float64),
+                        np.asarray(B_l[f, :, bidx], dtype=np.float64),
+                        float(b0_l[f, bidx]), trait, rep, fold,
+                        float(np.asarray(lasso_lams)[bidx]), store_effects,
+                    )
+                )
+    return cvs
 
 
 def _emit_dual(genomes, phi, w, v, pred, gamma, Z, model, trait, rep, fold, lam, store_effects):
@@ -410,8 +433,8 @@ def _emit_dual(genomes, phi, w, v, pred, gamma, Z, model, trait, rep, fold, lam,
         extras={"lambda": lam, "engine": "batched" if model == "ridge" else "batched-reml"},
     )
     return CV(
-        replication=f"replication_{rep}",
-        fold=f"fold_{fold}",
+        replication=rep,
+        fold=fold,
         fit=fit,
         validation_populations=genomes.populations[rows],
         validation_entries=genomes.entries[rows],
@@ -445,8 +468,8 @@ def _emit_gibbs(genomes, phi, w, v, pred, mu, beta, model, trait, rep, fold, sto
         extras={"engine": "batched-gibbs"},
     )
     return CV(
-        replication=f"replication_{rep}",
-        fold=f"fold_{fold}",
+        replication=rep,
+        fold=fold,
         fit=fit,
         validation_populations=genomes.populations[rows],
         validation_entries=genomes.entries[rows],
@@ -478,8 +501,8 @@ def _emit_lasso(genomes, phi, w, v, pred, beta, b0, trait, rep, fold, lam, store
         extras={"lambda": lam, "engine": "batched"},
     )
     return CV(
-        replication=f"replication_{rep}",
-        fold=f"fold_{fold}",
+        replication=rep,
+        fold=fold,
         fit=fit,
         validation_populations=genomes.populations[rows],
         validation_entries=genomes.entries[rows],
