@@ -651,7 +651,10 @@ def main() -> None:
                 SECTION_FLOOR[nm] for g in groups[gi + 1:] for nm in g
             )
             share = remaining * my_floor / max(my_floor + later_floor, 1)
-            timeout_s = max(60, share)
+            # Clamp to the documented hard per-section ceiling: with a raised
+            # GBM_BENCH_BUDGET an unclamped share would let one wedged group
+            # run arbitrarily long past SECTION_CAP x its section count.
+            timeout_s = max(60, min(share, SECTION_CAP * len(group)))
         env = dict(os.environ)
         env["GBM_BENCH_DEADLINE"] = str(time.time() + timeout_s)
         try:

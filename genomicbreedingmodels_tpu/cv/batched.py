@@ -169,7 +169,9 @@ def _solve_folds(K, y, W, grid, mesh: Optional[Mesh], kind: str):
     if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
         preds, gammas, crit = _solve_folds_single(K, y, jnp.asarray(W), grid, kind)
         return np.asarray(preds), np.asarray(gammas), np.asarray(crit)
-    axis = list(mesh.shape.keys())[0]
+    # Shard folds over the LARGEST mesh axis: a ('dp','mp') mesh with dp=1
+    # must still spread folds (ties break to mesh order).
+    axis = max(mesh.shape, key=lambda a: mesh.shape[a])
     D = mesh.shape[axis]
     Fp = ((F + D - 1) // D) * D
     if Fp != F:  # pad with all-training dummy folds; results discarded
@@ -228,7 +230,9 @@ def _lasso_folds(X, y, W, lambdas, mesh: Optional[Mesh]):
     if mesh is None or np.prod(list(mesh.shape.values())) <= 1:
         preds, B, crit, b0 = _lasso_folds_single(X, y, jnp.asarray(W), lambdas)
         return np.asarray(preds), np.asarray(B), np.asarray(crit), np.asarray(b0)
-    axis = list(mesh.shape.keys())[0]
+    # Shard folds over the LARGEST mesh axis: a ('dp','mp') mesh with dp=1
+    # must still spread folds (ties break to mesh order).
+    axis = max(mesh.shape, key=lambda a: mesh.shape[a])
     D = mesh.shape[axis]
     Fp = ((F + D - 1) // D) * D
     if Fp != F:  # pad with all-training dummy folds; results discarded

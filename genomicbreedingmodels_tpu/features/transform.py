@@ -346,6 +346,19 @@ def transform2(
         okpad = np.zeros(l_pad, dtype=bool)
         okpad[:l] = ok
         k = int(min(k_cap, rc * l_pad))
+        if k < k_cap and l * l > k:
+            # The running top-k carry holds rc*l_pad candidates; a request
+            # beyond that would silently truncate, so say so (raising would
+            # be hostile — the caller still gets the best k of all pairs).
+            import warnings
+
+            warnings.warn(
+                f"transform2: n_new_features_per_transformation={k_cap} exceeds "
+                f"the GEMM scan's running top-k capacity {k} (= {rc}*l_pad); "
+                f"returning the top {k} pairs only",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if mesh is not None:
             vals, ii_all, jj_all = _pairs_topk_sharded(
                 jnp.asarray(Xpad), ymj, jnp.asarray(okpad), mesh, axis,

