@@ -916,7 +916,13 @@ def gibbs_regression(
         group_size = int(cfg.mcmc_group_size)
     else:
         group_size = 0
-    X = np.asarray(X, dtype=np.float32)
+    # A panel already living on device stays there: np.asarray on a 4 GB
+    # jax array would round-trip it through the host (and at the tunnel's
+    # ~30 MB/s, re-uploading it would take minutes). Host panels keep the
+    # original numpy path byte-for-byte.
+    x_on_device = isinstance(X, jax.Array)
+    if not x_on_device:
+        X = np.asarray(X, dtype=np.float32)
     response_id, n_cats = 0, 0
     if response_type == "ordinal":
         codes, y = np.unique(np.asarray(y), return_inverse=True)
@@ -931,13 +937,20 @@ def gibbs_regression(
         group_size = min(group_size, bs)
         bs = ((bs + group_size - 1) // group_size) * group_size  # bs | K groups
     p_pad = ((p + bs - 1) // bs) * bs
-    Xp = np.zeros((n, p_pad), dtype=np.float32)
-    Xp[:, :p] = X
+    if x_on_device:
+        Xp = jnp.pad(X.astype(jnp.float32), ((0, 0), (0, p_pad - p)))
+        # Same ddof=0 column-variance sum as the host path's np.var.
+        ms_x = float(
+            jax.jit(lambda A: jnp.sum(jnp.var(A.astype(jnp.float32), axis=0)))(X)
+        )
+    else:
+        Xp = np.zeros((n, p_pad), dtype=np.float32)
+        Xp[:, :p] = X
+        ms_x = float(np.sum(np.var(X, axis=0)))
     valid = np.zeros(p_pad, dtype=np.float32)
     valid[:p] = 1.0
 
     var_y = 1.0 if response_id == 1 else float(np.var(y, ddof=1))
-    ms_x = float(np.sum(np.var(X, axis=0)))
     ms_x = max(ms_x, 1e-8)
     df_b, df_e = 5.0, 5.0
     sparse = model in ("BayesB", "BayesC", "BLPi", "BayesTPi")

@@ -35,6 +35,41 @@ __all__ = [
 _BED_MAGIC = b"\x6c\x1b\x01"
 
 
+def _iter_device_ahead(shards, depth: int = 1):
+    """Double-buffered host→device stage: yield `(start, stop, dev_array)`
+    with the NEXT shard's `jax.device_put` running on a worker thread while
+    the caller computes on the current one.
+
+    Through a slow (or synchronous) host↔device link the transfer is the
+    pipeline's long pole; overlapping it with the device syrk hides the
+    compute entirely and keeps `depth + 1` shards in flight (so device
+    working-set cost is one extra shard). On a saturated link the gain is
+    bounded by the compute share — see the bench's raw-link probe line for
+    what the link itself sustains.
+    """
+    import jax
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        it = iter(shards)
+        pending = []
+
+        def _pull():
+            try:
+                a, b, host = next(it)
+            except StopIteration:
+                return False
+            pending.append((a, b, pool.submit(jax.device_put, host)))
+            return True
+
+        for _ in range(depth + 1):
+            if not _pull():
+                break
+        while pending:
+            a, b, fut = pending.pop(0)
+            _pull()  # start the next upload BEFORE handing over this shard
+            yield a, b, fut.result()
+
+
 class BedShardStreamer:
     """Iterate `(start, stop, F)` marker shards of a PLINK .bed trio with
     background prefetch.
@@ -235,14 +270,14 @@ def grm_from_bed(
     streamer = BedShardStreamer(prefix, block_cols=block_cols, prefetch=prefetch)
     K = None
     shards = streamer if force_float else streamer.iter_dosage(snp_major=True)
-    for _, _, F in shards:
+    for _, _, F in _iter_device_ahead(shards):
         if F.dtype == np.int8:
             # int8 shards arrive SNP-major (no host transpose — the device
             # flips them in-program); dosages are 2x the frequencies, so the
             # raw Gram is rescaled by 1/4.
-            G = gram_dosage_snp_major(jnp.asarray(F), ploidy=2, center=False)
+            G = gram_dosage_snp_major(F, ploidy=2, center=False)
         else:
-            G = gram_panel(jnp.asarray(F, dtype=dt), center=False)
+            G = gram_panel(F.astype(dt), center=False)
         K = G if K is None else K + G
     if K is None:
         raise ValueError(f"{prefix}: no markers")
@@ -321,9 +356,12 @@ def gblup_from_bed_pieces(
             "needs complete dosages; impute upstream or use gblup_from_bed"
         )
 
-    for k, (_, _, payload) in enumerate(streamer.iter_payload()):
+    # Double-buffered h2d: shard k+1 uploads on a worker thread while the
+    # device runs shard k's unpack+syrk (one extra ~block_cols*n/4-byte
+    # shard resident).
+    for k, (_, _, payload) in enumerate(_iter_device_ahead(streamer.iter_payload())):
         pieces, miss = accumulate_bed_payload(
-            pieces, jnp.asarray(payload), miss, bounds=bounds, n=n
+            pieces, payload, miss, bounds=bounds, n=n
         )
         # Fail fast on dirty panels: sync the device miss counter after the
         # first shard (catches systematic missingness immediately) and every

@@ -265,3 +265,31 @@ def test_grouped_indicator_matches_scalar_oracle(model, b_thr):
         assert abs(s2_s - s2_g) / s2_s < 0.25
     with pytest.raises(ValueError):
         gibbs_regression(X, y, model=model, n_iter=10, indicator_update="nope")
+
+
+def test_gibbs_regression_device_panel_matches_host_panel():
+    """A jax-array panel must produce the BIT-IDENTICAL chain as the numpy
+    path (the device branch skips the host round-trip; at-size benches
+    synthesize the panel on device to dodge the tunnel h2d)."""
+    import jax.numpy as jnp
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
+
+    rng = np.random.default_rng(12)
+    X = (rng.integers(0, 3, size=(40, 96)) / 2.0).astype(np.float32)
+    y = (X[:, :5] @ rng.normal(size=5) + 0.3 * rng.normal(size=40)).astype(np.float32)
+    # Pin the variances: the only host/device divergence allowed is the
+    # last-ulp of the on-device ms_x reduction feeding the hyper-scales, and
+    # pinning removes the chain's dependence on them — so the draws must be
+    # BIT-identical.
+    kw = dict(model="BayesC", n_iter=80, n_burnin=20, seed=3,
+              fix_sigma_e2=0.09, fix_sigma_b2=0.05)
+    mu_h, b_h, dg_h = gibbs_regression(X, y, **kw)
+    mu_d, b_d, dg_d = gibbs_regression(jnp.asarray(X), y, **kw)
+    assert mu_d == mu_h
+    np.testing.assert_array_equal(b_d, b_h)
+    np.testing.assert_array_equal(dg_d["sigma_e2_trace"], dg_h["sigma_e2_trace"])
+    # Unpinned: same posterior up to the ulp-level hyper-scale difference.
+    mu_h2, b_h2, _ = gibbs_regression(X, y, model="BayesC", n_iter=80, n_burnin=20, seed=3)
+    mu_d2, b_d2, _ = gibbs_regression(jnp.asarray(X), y, model="BayesC", n_iter=80, n_burnin=20, seed=3)
+    assert abs(mu_d2 - mu_h2) < 5e-3 * max(1.0, abs(mu_h2))
+    assert np.corrcoef(b_d2, b_h2)[0, 1] > 0.99
