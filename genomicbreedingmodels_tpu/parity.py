@@ -112,6 +112,39 @@ def _reml_neg_loglik(theta, y, Xf, K):
     return 0.5 * logdet_v + yPy + logdet_x
 
 
+def _psd64(A):
+    A = np.asarray(A, np.float64)
+    return 0.5 * (A + A.T)
+
+
+def _pc1_oracle(K):
+    """Exact f64 PC1 of the GRM's column covariance — the same covariate
+    definition as models/gwas.py:_grm_pc1_device (which uses 50-step power
+    iteration on device) but via a full eigh. Sign-arbitrary; the scan
+    statistics are invariant to covariate sign."""
+    Kc = K - K.mean(axis=1, keepdims=True)
+    C = Kc @ Kc.T / max(K.shape[1] - 1, 1)
+    _, U = np.linalg.eigh(C)
+    return U[:, -1]
+
+
+def _pattern_search_2d(f, x0, lo=-6.0, hi=0.0, step=0.5, n_scales=9):
+    x = np.array(x0, np.float64)
+    fx = f(x)
+    for _ in range(n_scales):
+        improved = True
+        while improved:
+            improved = False
+            for d in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                cand = np.clip(x + d, lo, hi)
+                fc = f(cand)
+                if fc < fx:
+                    x, fx = cand, fc
+                    improved = True
+        step *= 0.5
+    return x
+
+
 def _oracle_reml_z(y, G, K, marker_idx, grid_pts=14):
     """Per-marker REML z by dense-pinv grid + pattern search, all f64 — no
     eigen-rotation anywhere (independent of the library's algorithm)."""
@@ -251,8 +284,12 @@ def run_parity_ledger(
     if quick:
         return rows
 
-    # --- BRR / BayesA: conjugate Gaussian posterior (pinned variances) ----
-    for model in ("BRR", "BayesA"):
+    # --- BRR / BayesA / BL / BayesT: conjugate posterior (pinned) ---------
+    # Pinned variances make EVERY continuous-prior chain exactly conjugate
+    # Gaussian (s² is held at fix_b for all models — the prior families
+    # differ only in how s² updates, which pinning removes), so one f64
+    # closed form covers the whole continuous zoo.
+    for model in ("BRR", "BayesA", "BL", "BayesT"):
         n, p = 60, 40
         X, y = _sim_xy(n=n, p=p, seed=13, k=10)
         sig_e2, sig_b2 = 0.5, 0.05
@@ -265,11 +302,13 @@ def run_parity_ledger(
                   _cor(mu_hat + X @ b_hat, b0_o + X @ b_o), 0.999,
                   "exact Gaussian posterior mean (A⁻¹Z'y/σ²ₑ, A = Z'Z/σ²ₑ + I/σ²_b), f64"))
 
-    # --- BayesB / BayesC: long independent scalar-scan oracle chain -------
+    # --- indicator zoo: long independent scalar-scan oracle chain ---------
     # The spike-slab posterior mean has no closed form; the oracle is the
     # one-marker-at-a-time scalar scan (bit-for-bit sequential Gibbs, the
     # kernel the grouped draw is equivalence-tested against) run as an
-    # INDEPENDENT chain (different seed) on a strong-LD panel.
+    # INDEPENDENT chain (different seed) on a strong-LD panel. Covers every
+    # point-mass model: BayesB/C and the Turing-taxonomy BLπ/BayesTπ
+    # (reference dead-code spec, src/bayes.jl:422-480, :745-855).
     rng = np.random.default_rng(0)
     n, p = 160, 384
     base = rng.normal(size=(n, p // 8))
@@ -279,7 +318,7 @@ def run_parity_ledger(
     idx = rng.choice(p, 16, replace=False)
     b_true[idx] = rng.normal(size=16)
     yld = (Xld @ b_true + 0.5 * rng.normal(size=n)).astype(np.float32)
-    for model in ("BayesC", "BayesB"):
+    for model in ("BayesC", "BayesB", "BLPi", "BayesTPi"):
         _, b_g, _ = gbm.gibbs_regression(
             Xld, yld, model=model, n_iter=600, n_burnin=200, seed=1,
             indicator_update="grouped",
@@ -291,6 +330,83 @@ def run_parity_ledger(
         push(_row(model.lower(), "GEBV correlation (vs independent scalar-scan chain)",
                   _cor(Xld @ b_g, Xld @ b_s), 0.99,
                   "600-sweep one-marker-at-a-time sequential Gibbs, independent seed"))
+
+    # --- multi-trait GBLUP: dense f64 Kronecker mixed-model solve ---------
+    # At the EM-fitted (G_g, R) the BLUP has the closed form
+    # u = (G_g⊗K) [(G_g⊗K) + R⊗I]⁻¹ vec(Y_c); the library never builds the
+    # nt × nt system (it solves per-eigenvalue t×t problems in K's
+    # eigenbasis + re-materializes marker effects), so the dense solve is an
+    # independent check of the whole rotation path.
+    genomes = gbm.simulate_genomes(n=64, l=200, seed=31)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.6, 0.0, 0.0], [0.4, 0.0, 0.0]]),
+        seed=31,
+    )
+    phen_mt = gbm.extract_phenomes(trials)
+    fits_mt = gbm.gblup_multitrait_cov(
+        genomes=genomes, phenomes=phen_mt, missing_policy="complete-case"
+    )
+    G_g = fits_mt[0].extras["genetic_covariance"]
+    R_mt = fits_mt[0].extras["residual_covariance"]
+    Y = np.asarray(phen_mt.phenotypes, np.float64)
+    Kmt = gbm.grm_simple(genomes).genomic_relationship_matrix.astype(np.float64)
+    nmt, tmt = Y.shape
+    mu_mt = Y.mean(axis=0)
+    Yc = (Y - mu_mt).T.reshape(-1)  # trait-major stacking
+    Cg = np.kron(_psd64(G_g), Kmt)
+    Vmt = Cg + np.kron(_psd64(R_mt), np.eye(nmt))
+    u = (Cg @ np.linalg.solve(Vmt, Yc)).reshape(tmt, nmt)
+    pred_lib = np.concatenate([f.y_pred for f in fits_mt])
+    pred_o = np.concatenate([mu_mt[k] + u[k] for k in range(tmt)])
+    push(_row("gblup-multitrait", "GEBV correlation (both traits)",
+              _cor(pred_lib, pred_o), 0.999,
+              "dense f64 Kronecker solve (G_g⊗K)[(G_g⊗K)+R⊗I]⁻¹vec(Y_c) at the EM-fitted components"))
+
+    # --- gwasols: f64 per-marker pinv t-stats ----------------------------
+    genomes = gbm.simulate_genomes(n=72, l=160, seed=23)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.6, 0.0, 0.0]]), n_qtl=5, seed=23
+    )
+    phen_g = gbm.extract_phenomes(trials)
+    fit_go = gbm.gwasols(genomes=genomes, phenomes=phen_g)
+    Gs, ys, Ks, _ = gbm.gwasprep(genomes, phen_g)
+    Gs, ys, Ks = (np.asarray(a, np.float64) for a in (Gs, ys, Ks))
+    pc1_o = _pc1_oracle(Ks)
+    t_o = np.zeros(Gs.shape[1])
+    for j in range(Gs.shape[1]):
+        Xf = np.stack([np.ones(len(ys)), pc1_o, Gs[:, j]], axis=1)
+        Vinv = np.linalg.pinv(Xf.T @ Xf)
+        b = Vinv @ (Xf.T @ ys)
+        t_o[j] = b[-1] / np.sqrt(max(Vinv[-1, -1], 1e-30))
+    push(_row("gwasols", "t-stat correlation (all markers)",
+              _cor(fit_go.b_hat, t_o), 0.999,
+              "f64 per-marker pinv(XᵀX) t = b/√Vinv[end,end] with exact-eigh PC1 (reference src/gwas.jl:241-245)"))
+
+    # --- gwaslmm: dense f64 GLS z at oracle-refit null components ---------
+    fit_gl = gbm.gwaslmm(genomes=genomes, phenomes=phen_g)
+    Ksym = 0.5 * (Ks + Ks.T)
+    Xf0 = np.stack([np.ones(len(ys)), pc1_o], axis=1)
+    lg0 = np.linspace(-5.0, 0.0, 12)
+    cand = [(10.0 ** a, 10.0 ** b) for a in lg0 for b in lg0]
+    vals = [_reml_neg_loglik(np.asarray(th), ys, Xf0, Ksym) for th in cand]
+    x0 = np.log10(np.asarray(cand[int(np.argmin(vals))]))
+    xo = _pattern_search_2d(
+        lambda x: _reml_neg_loglik(10.0 ** x, ys, Xf0, Ksym), x0
+    )
+    th = 10.0 ** xo
+    Vn = th[1] * Ksym + th[0] * np.eye(len(ys))
+    Vninv = np.linalg.pinv(Vn)
+    z_lib = np.asarray(fit_gl.b_hat, np.float64)
+    top = np.argsort(-np.abs(z_lib))[:12]
+    z_o = np.zeros(len(top))
+    for mi, j in enumerate(top):
+        Xf = np.stack([np.ones(len(ys)), pc1_o, Gs[:, j]], axis=1)
+        cov_b = np.linalg.pinv(Xf.T @ Vninv @ Xf)
+        b = cov_b @ (Xf.T @ Vninv @ ys)
+        z_o[mi] = b[-1] / np.sqrt(max(cov_b[-1, -1], 1e-30))
+    push(_row("gwaslmm", "z-stat correlation (top-12 markers)",
+              _cor(z_lib[top], z_o), 0.999,
+              "dense f64 GLS z at null-model components refit by f64 grid + pattern search (EMMAX design, divergence from the reference's singleton-(1|entries) model documented at models/gwas.py:15-32)"))
 
     # --- gwasreml: dense-pinv f64 oracle z-stats --------------------------
     genomes = gbm.simulate_genomes(n=48, l=96, seed=21)
