@@ -15,8 +15,13 @@ metrics cover the rest of BASELINE.md's target table:
   MXU-tile-aligned syrk of ops/pieces.py (exact int32 accumulation), then
   GBLUP solves by matrix-free CG — Cholesky would need a second 10 GB
   buffer the 16 GB chip does not have. Per-stage timings print to stderr.
+- raw host->device link probe: a bare 256 MB device_put in GB/s — measures
+  the tunnel tax that the gwas/diskstream/cv stage notes attribute.
 - Gibbs sampler marker-updates/s: BayesC on the grouped 2^K-pattern
-  collapsed kernel (the shipped default) + BRR joint block draws.
+  collapsed kernel (the shipped default) + BRR joint block draws, plus
+  effect-ESS/s over honest 1000-post-burnin-sweep windows on a signal
+  panel, plus BASELINE config-3 AT SIZE (10k x 102.4k, device-synthesized
+  panel — see bench_sampler_big).
 - GWAS-REML markers/s (the reference's O(p n^3) hot spot, rotated).
 - cvbulk wall-clock: replicated k-fold CV via the batched fold-sharded
   engine (reference scheduler: src/cross_validation.jl:151-206), now
@@ -110,10 +115,10 @@ def bench_linkprobe(on_tpu: bool) -> None:
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]
     emit(
-        f"raw host->device link GB/s (bare device_put of a {mb} MB buffer, "
+        f"raw host->device link MB/s (bare device_put of a {mb} MB buffer, "
         "median-of-3, scalar-readback synced)",
-        mb / 1024 / dt,
-        "GB/s",
+        mb / dt,
+        "MB/s",
     )
 
 
@@ -366,10 +371,15 @@ def bench_sampler_big(on_tpu: bool) -> None:
     import numpy as np
     from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
 
+    # p and block_size are chosen so the panel tiles EXACTLY: bs=510 is a
+    # multiple of the grouped draw's K=6 and divides p, so p_pad == p and
+    # the sampler aliases the device panel instead of materializing a padded
+    # 4.1 GB copy (input + pad + centered panel = 12.3 GB was the
+    # RESOURCE_EXHAUSTED the first at-size attempt hit).
     if on_tpu:
-        n, p, sweeps, burn = 10_000, 102_400, 60, 10
+        n, p, bs, sweeps, burn = 10_000, 102_000, 510, 60, 10
     else:
-        n, p, sweeps, burn = 256, 2_048, 30, 5
+        n, p, bs, sweeps, burn = 256, 2_040, 510, 30, 5
 
     @jax.jit
     def synth(key):
@@ -392,7 +402,7 @@ def bench_sampler_big(on_tpu: bool) -> None:
         ("BayesC", "grouped 2^K-pattern collapsed draw"),
         ("BRR", "joint block draw"),
     ):
-        kw = dict(model=model, n_burnin=burn, seed=4)
+        kw = dict(model=model, n_burnin=burn, seed=4, block_size=bs)
         # Prep probe: a 1-sweep run ≈ center + block-Gram precompute + one
         # sweep — attributes the fixed per-segment cost.
         gibbs_regression(X, y, n_iter=2, **kw)  # compile (prep probe shape)

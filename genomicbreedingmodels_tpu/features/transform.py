@@ -165,7 +165,7 @@ def _pairs_topk_sharded(
     D·k (value, global-flat-index) pairs return to the host for the final
     merge — the same merge semantics as the single-device block loop.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n, l_pad = Xp.shape

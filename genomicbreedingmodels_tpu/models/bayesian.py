@@ -186,9 +186,19 @@ def _gibbs_chain(
         mu_cols = jnp.mean(X, axis=0)  # (p_pad,) local
         X = X - mu_cols[None, :]
     x2 = jnp.sum(X * X, axis=0)  # (p_pad,)
-    # Per-block Gram matrices: (B, bs, bs); each is one MXU matmul.
-    Xb = X.T.reshape(n_blocks, bs, n)  # block-major marker layout
-    C = jnp.einsum("bin,bjn->bij", Xb, Xb, preferred_element_type=jnp.float32)
+    # Per-block Gram matrices: (B, bs, bs); one MXU matmul per block via a
+    # lax.map over (n, bs) slices. The previous batched-einsum formulation
+    # went through a block-major transposed COPY of the whole panel
+    # (X.T.reshape) — a second panel-sized buffer that, at 10k x 100k
+    # (4.1 GB), pushed the chain's peak past HBM.
+    C = jax.lax.map(
+        lambda blk: jnp.dot(
+            jax.lax.dynamic_slice(X, (0, blk * bs), (n, bs)).T,
+            jax.lax.dynamic_slice(X, (0, blk * bs), (n, bs)),
+            preferred_element_type=jnp.float32,
+        ),
+        jnp.arange(n_blocks),
+    )
 
     df_b = hyper["df_b"]
     S_b0 = hyper["S_b0"]
@@ -938,7 +948,11 @@ def gibbs_regression(
         bs = ((bs + group_size - 1) // group_size) * group_size  # bs | K groups
     p_pad = ((p + bs - 1) // bs) * bs
     if x_on_device:
-        Xp = jnp.pad(X.astype(jnp.float32), ((0, 0), (0, p_pad - p)))
+        # Alias, don't copy, when no padding is needed: at 10k x 100k the
+        # panel is 4.1 GB and a gratuitous pad-by-zero copy is the
+        # difference between fitting HBM and RESOURCE_EXHAUSTED.
+        Xf = X if X.dtype == jnp.float32 else X.astype(jnp.float32)
+        Xp = Xf if p_pad == p else jnp.pad(Xf, ((0, 0), (0, p_pad - p)))
         # Same ddof=0 column-variance sum as the host path's np.var.
         ms_x = float(
             jax.jit(lambda A: jnp.sum(jnp.var(A.astype(jnp.float32), axis=0)))(X)
@@ -1187,7 +1201,7 @@ def gibbs_cv_folds(
     # fold replicated on every device (ties break to the first axis in mesh
     # order).
     if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = max(mesh.shape, key=lambda a: mesh.shape[a])
