@@ -457,24 +457,39 @@ def bench_gwas(on_tpu: bool) -> None:
         traits=np.array(["t"]),
         phenotypes=phen,
     )
+    from genomicbreedingmodels_tpu.models import gwas as gwas_mod
+
     gbm.gwasreml(genomes=genomes, phenomes=phenomes)  # compile warmup
+    # COLD timed run (cache cleared): pays the full prep — panel upload
+    # (uint8 dosage codes since r5: 67 MB here, 4x under the old f32 bytes;
+    # see models/gwas.py:_prep_device and the raw link-probe line) + GRM.
+    gwas_mod._PREP_CACHE.clear()
     t0 = time.perf_counter()
     fit = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
     dt = time.perf_counter() - t0
     assert np.all(np.isfinite(fit.b_hat))
     tm = fit.extras.get("timings", {})
     if tm:
-        # Attribution: "prep+grm" includes the one panel upload — since r5 a
-        # called-genotype panel crosses as uint8 dosage codes (67 MB here,
-        # 4x under the old f32 bytes; see models/gwas.py:_prep_device and
-        # the raw link-probe line); the scan stage is the REML compute.
         note(
-            "# gwas stages: "
+            "# gwas stages (cold prep, uint8 panel upload): "
             + " ".join(f"{k}={v['total_s']:.1f}s" for k, v in tm.items())
         )
     emit(
-        f"GWAS-REML markers/s incl. GRM+eigh (n={n}, p={p}, per-marker 2-VC REML, warm)",
+        f"GWAS-REML markers/s incl. GRM+eigh (n={n}, p={p}, per-marker 2-VC "
+        "REML, warm compile, cold device prep)",
         len(fit.b_hat) / dt,
+        "markers/s",
+    )
+    # WARM repeat on the same panel: the single-slot device-prep cache
+    # (utils/devcache.py) skips upload + GRM — the repeated-scan pattern
+    # (gwasols + gwaslmm + gwasreml on one panel, or parameter sweeps).
+    t0 = time.perf_counter()
+    fit = gbm.gwasreml(genomes=genomes, phenomes=phenomes)
+    dt_w = time.perf_counter() - t0
+    emit(
+        f"GWAS-REML markers/s, prep-cached repeat (n={n}, p={p}, device prep "
+        "reused via the single-slot panel cache)",
+        len(fit.b_hat) / dt_w,
         "markers/s",
     )
 
@@ -619,7 +634,8 @@ def bench_cv(on_tpu: bool) -> None:
     assert len(cvs) >= n_replications * n_folds * len(models)
     emit(
         f"cvbulk wall-clock (n={n}, p={p}, {n_replications}x{n_folds} folds x "
-        f"{len(models)} models = {len(cvs)} fits, batched, warm)",
+        f"{len(models)} models = {len(cvs)} fits, batched, warm; panel+gram "
+        "device-cached across calls since r5 — cold split in the stage note)",
         dt,
         "s",
     )

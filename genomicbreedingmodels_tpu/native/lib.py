@@ -64,6 +64,10 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.gbmio_bed_encode.restype = c_int
         lib.gbmio_col_means.argtypes = [dp, c_long, c_long, dp, c_int]
         lib.gbmio_col_means.restype = c_int
+        lib.gbmio_quantize_grid.argtypes = [
+            dp, c_long, ctypes.c_double, ctypes.c_double, u8p, c_int,
+        ]
+        lib.gbmio_quantize_grid.restype = c_int
         lib.gbmio_vcf_dims.argtypes = [c_char_p, lp, lp, lp]
         lib.gbmio_vcf_dims.restype = c_int
         lib.gbmio_vcf_parse.argtypes = [c_char_p, dp, c_long, c_long, c_int, lp]

@@ -326,6 +326,41 @@ int gbmio_bed_encode(const double* freqs, long n_samples, long n_snps,
     return 0;
 }
 
+// Quantize an f64 matrix onto the q/scale integer grid in ONE fused pass:
+// out[i] = rint(x[i] * scale) when EVERY value sits within `tol` of its grid
+// point and inside [0, 255]; returns 1 on success, 0 (early-exit) otherwise.
+// Replaces a 4-pass numpy check (f64→f32 copy, rint, |diff| max, astype)
+// that cost 8.8 s at 2048×32768 on this 2-core host — the single pass runs
+// at memory bandwidth. Used by models/gwas.py:_prep_device to decide the
+// uint8 dosage upload (4× fewer bytes over slow host→device links).
+int gbmio_quantize_grid(const double* x, long n_elems, double scale,
+                        double tol, uint8_t* out, int n_threads) {
+    int nt = hw_threads(n_threads);
+    long chunk = (n_elems + nt - 1) / nt;
+    std::atomic<int> ok{1};
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) {
+        long i0 = t * chunk;
+        long i1 = std::min(n_elems, i0 + chunk);
+        if (i0 >= i1) break;
+        threads.emplace_back([&, i0, i1]() {
+            const double inv = 1.0 / scale;
+            for (long i = i0; i < i1; ++i) {
+                if ((i & 0xFFFF) == 0 && !ok.load(std::memory_order_relaxed))
+                    return;  // another thread found an off-grid value
+                double q = std::nearbyint(x[i] * scale);
+                if (q < 0.0 || q > 255.0 || std::fabs(x[i] - q * inv) > tol) {
+                    ok.store(0, std::memory_order_relaxed);
+                    return;
+                }
+                out[i] = static_cast<uint8_t>(q);
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    return ok.load();
+}
+
 // Column means of an (n x p) row-major matrix, NaN-aware, threaded over
 // column blocks. Used by the streaming loader to center panels at read time.
 int gbmio_col_means(const double* x, long n, long p, double* means, int n_threads) {

@@ -1,0 +1,55 @@
+"""Single-slot device-resident panel cache.
+
+Through a slow host↔device link the panel upload dominates warm repeated
+calls (measured: 7.1 s of a 15.2 s warm cvbulk_batched at 2048×32768 was
+the panel h2d + Gram — the solves themselves were 6 s). Call sites that
+derive device state from the SAME host panel across calls (cvbulk_batched
+warm runs, cvperpopulation's per-population loops, gwasols/gwaslmm/gwasreml
+on one panel) cache the derived device arrays keyed on a cheap host
+fingerprint.
+
+Deliberately ONE slot per cache: the repeat-call pattern is "same panel
+again", and a single slot bounds the HBM a cache can pin. The fingerprint
+(shape, dtype, byte count, and a strided 4096-element sample hash) catches
+rebinding and almost all in-place mutation; pathological mutations that
+preserve the sampled stride are the documented trade-off (the reference
+recomputes everything from scratch per call, src/cross_validation.jl:162-176,
+at the cost this cache removes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["host_fingerprint", "SingleSlotCache"]
+
+
+def host_fingerprint(arr) -> Tuple:
+    """Cheap content fingerprint of a host array (O(4096) regardless of size)."""
+    a = np.asarray(arr)
+    flat = a.reshape(-1)
+    if flat.size:
+        step = max(1, flat.size // 4096)
+        sample = np.ascontiguousarray(flat[::step][:4096])
+        digest = hash(sample.tobytes())
+    else:
+        digest = 0
+    return (a.shape, a.dtype.str, a.nbytes, digest)
+
+
+class SingleSlotCache:
+    def __init__(self) -> None:
+        self._key: Optional[Tuple] = None
+        self._value: Any = None
+
+    def get(self, key: Tuple) -> Any:
+        return self._value if key == self._key else None
+
+    def put(self, key: Tuple, value: Any) -> Any:
+        self._key, self._value = key, value
+        return value
+
+    def clear(self) -> None:
+        self._key, self._value = None, None

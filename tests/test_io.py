@@ -199,3 +199,38 @@ def test_read_bed_marker_range(tmp_path, sim_small):
 
     with pytest.raises(ValueError):
         read_bed(tmp_path / "rng", marker_range=(40, 60))
+
+
+def test_native_quantize_grid_matches_numpy_and_rejects_offgrid():
+    """gbmio_quantize_grid: fused on-grid check + uint8 quantization must
+    agree with the numpy reference on called panels and reject off-grid
+    (continuous) panels."""
+    import ctypes
+    import numpy as np
+    from genomicbreedingmodels_tpu.native.lib import load_native
+
+    lib = load_native()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native gbmio unavailable")
+    rng = np.random.default_rng(0)
+    for ploidy in (2, 4, 6, 10):
+        G = rng.integers(0, ploidy + 1, size=(64, 257)).astype(np.float64) / ploidy
+        out = np.empty(G.shape, np.uint8)
+        ok = lib.gbmio_quantize_grid(
+            G.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), G.size,
+            240.0, 2e-7, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+        )
+        assert ok == 1, ploidy
+        np.testing.assert_array_equal(out, np.rint(G * 240.0).astype(np.uint8))
+        # dequantized panel reproduces the f32 panel to < 2e-7
+        assert np.max(np.abs(G.astype(np.float32)
+                             - out.astype(np.float32) * np.float32(1 / 240.0))) < 2e-7
+    G = rng.uniform(size=(64, 257))  # continuous: off-grid
+    out = np.empty(G.shape, np.uint8)
+    ok = lib.gbmio_quantize_grid(
+        G.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), G.size,
+        240.0, 2e-7, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0,
+    )
+    assert ok == 0

@@ -132,3 +132,66 @@ def test_cv_checkpoint_resume(tmp_path, sim_small):
     assert np.allclose(cvs1[0].y_pred, cvs2[0].y_pred)
     # signatures are order-stable and distinct
     assert job_signature(jobs[0]) != job_signature(jobs[1])
+
+
+def test_devcache_fingerprint_and_single_slot():
+    """utils/devcache: content fingerprints change on mutation/rebind; the
+    single-slot cache returns hits only for the exact key."""
+    import numpy as np
+    from genomicbreedingmodels_tpu.utils.devcache import (
+        SingleSlotCache, host_fingerprint,
+    )
+
+    a = np.arange(10_000, dtype=np.float64).reshape(100, 100)
+    f1 = host_fingerprint(a)
+    assert f1 == host_fingerprint(a)  # deterministic
+    b = a.copy()
+    assert host_fingerprint(b) == f1  # content-keyed, not identity-keyed
+    b[0, 0] += 1.0
+    assert host_fingerprint(b) != f1  # sampled element changed
+    assert host_fingerprint(a.astype(np.float32)) != f1  # dtype in the key
+
+    c = SingleSlotCache()
+    assert c.get(("k1",)) is None
+    c.put(("k1",), "v1")
+    assert c.get(("k1",)) == "v1"
+    c.put(("k2",), "v2")  # single slot: k1 evicted
+    assert c.get(("k1",)) is None and c.get(("k2",)) == "v2"
+    c.clear()
+    assert c.get(("k2",)) is None
+
+
+def test_gwas_prep_cache_same_results_and_trait_separation():
+    """The _prep_device cache must return identical scan results on a repeat
+    call and MISS when the trait changes (same panel, different y)."""
+    import numpy as np
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.models import gwas as gwas_mod
+
+    genomes = gbm.simulate_genomes(n=48, l=120, seed=3)
+    ploidy = 2
+    genomes.allele_frequencies = np.round(genomes.allele_frequencies * ploidy) / ploidy
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.0, 0.0], [0.3, 0.0, 0.0]]), seed=3
+    )
+    phen = gbm.extract_phenomes(trials)
+    gwas_mod._PREP_CACHE.clear()
+    calls = []
+    orig = gwas_mod._prep_onchip
+
+    def counting_prep(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    gwas_mod._prep_onchip = counting_prep
+    try:
+        f1 = gbm.gwasols(genomes=genomes, phenomes=phen, idx_trait=0)
+        f2 = gbm.gwasols(genomes=genomes, phenomes=phen, idx_trait=0)
+        assert len(calls) == 1  # second call HIT the cache (no device prep)
+        np.testing.assert_array_equal(f1.b_hat, f2.b_hat)
+        np.testing.assert_array_equal(f1.b_hat_labels, f2.b_hat_labels)
+        f3 = gbm.gwasols(genomes=genomes, phenomes=phen, idx_trait=1)
+        assert len(calls) == 2  # different trait y -> MISS
+        assert not np.array_equal(f3.b_hat, f1.b_hat)
+    finally:
+        gwas_mod._prep_onchip = orig
