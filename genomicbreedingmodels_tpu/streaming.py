@@ -49,6 +49,13 @@ def _iter_device_ahead(shards, depth: int = 1):
     """
     import jax
 
+    if os.environ.get("GBM_STREAM_H2D_AHEAD", "1") == "0":
+        # Escape hatch: inline (synchronous) uploads. Some transports
+        # serialize badly when a worker thread issues device_put while the
+        # main thread dispatches compute — A/B measured per deployment.
+        for a, b, host in shards:
+            yield a, b, jax.device_put(host)
+        return
     with ThreadPoolExecutor(max_workers=1) as pool:
         it = iter(shards)
         pending = []
@@ -270,14 +277,21 @@ def grm_from_bed(
     streamer = BedShardStreamer(prefix, block_cols=block_cols, prefetch=prefetch)
     K = None
     shards = streamer if force_float else streamer.iter_dosage(snp_major=True)
-    for _, _, F in _iter_device_ahead(shards):
+
+    def _host_cast(it):
+        # Cast float shards to the compute dtype ON HOST so bf16 shards
+        # cross the link at 2 bytes/genotype, not 4.
+        for a, b, F in it:
+            yield a, b, (F if F.dtype == np.int8 else F.astype(dt))
+
+    for _, _, F in _iter_device_ahead(_host_cast(shards)):
         if F.dtype == np.int8:
             # int8 shards arrive SNP-major (no host transpose — the device
             # flips them in-program); dosages are 2x the frequencies, so the
             # raw Gram is rescaled by 1/4.
             G = gram_dosage_snp_major(F, ploidy=2, center=False)
         else:
-            G = gram_panel(F.astype(dt), center=False)
+            G = gram_panel(F, center=False)
         K = G if K is None else K + G
     if K is None:
         raise ValueError(f"{prefix}: no markers")
