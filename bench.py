@@ -312,7 +312,9 @@ def bench_sampler(on_tpu: bool) -> None:
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[1]
         emit(
-            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, {label}, warm median-of-3)",
+            f"{model} Gibbs marker-updates/s (n={n}, p={p}, {n_iter} sweeps, "
+            f"{label}, warm median-of-3, panel device-cached across runs "
+            "since r5)",
             n_iter * p / dt,
             "updates/s",
         )

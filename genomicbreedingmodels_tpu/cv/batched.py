@@ -187,6 +187,15 @@ def _solve_folds(K, y, W, grid, mesh: Optional[Mesh], kind: str):
     return np.asarray(preds[:F]), np.asarray(gammas[:F]), np.asarray(crit[:F])
 
 
+@jax.jit
+def _lambda_max_device(X, y, w):
+    """max_j |⟨x_j − x̄_j, y − ȳ⟩| over rows with w=1, plus the row count."""
+    n_f = jnp.sum(w)
+    mean_y = jnp.sum(w * y) / jnp.maximum(n_f, 1.0)
+    ywc = w * (y - mean_y)  # Σ ywc = 0 ⇒ the x̄_j term vanishes
+    return jnp.max(jnp.abs(jnp.dot(ywc, X, preferred_element_type=jnp.float32))), n_f
+
+
 def _lasso_fold(X, y, w, lambdas, n_iter=300):
     """One LASSO fold: batched pathwise FISTA (ops/linalg) on the fold's
     training rows; GCV with active-set df for training-only λ selection.
@@ -410,15 +419,20 @@ def _run_models_on_masks(
                     )
         else:  # lasso
             if lasso_lams is None:
-                from ..ops.linalg import make_lambda_grid
-
-                lasso_lams = jnp.asarray(
-                    make_lambda_grid(
-                        np.asarray(genomes.allele_frequencies)[finite],
-                        phi[finite], n_lambda=16, alpha=1.0,
-                    ),
-                    jnp.float32,
-                )
+                # glmnet-style λ grid computed ON DEVICE from the already-
+                # resident panel: λ_max = max_j |⟨x_j − x̄_j, y − ȳ⟩| / n
+                # over the finite rows (identical semantics to
+                # ops.linalg.make_lambda_grid — the weighted-centered GEMV
+                # makes the x̄_j term vanish). The old host path re-sliced
+                # and upcast the panel to f64 for one GEMV on 2 cores.
+                with timer.stage("lasso_grid"):
+                    w_fin = jnp.asarray(finite.astype(np.float32))
+                    lam_max, n_f = _lambda_max_device(X, y, w_fin)
+                    lm = max(float(lam_max) / max(float(n_f), 1.0), 1e-12)
+                    lasso_lams = jnp.asarray(
+                        np.logspace(np.log10(lm), np.log10(lm * 0.01), 16),
+                        jnp.float32,
+                    )
             with timer.stage("lasso_solve"):
                 preds_l, B_l, crit_l, b0_l = _lasso_folds(X, y, W, lasso_lams, mesh)
             with timer.stage("lasso_emit"):

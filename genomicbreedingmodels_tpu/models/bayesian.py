@@ -68,6 +68,10 @@ import numpy as np
 from ..core.structs import Fit, Genomes, Phenomes
 from ..ops.metrics import metrics
 from ..prediction import extractxyetc
+from ..utils.devcache import SingleSlotCache, host_fingerprint
+
+# Padded device panel of the most recent host-panel chain (gibbs_regression).
+_PANEL_CACHE = SingleSlotCache()
 
 __all__ = [
     "gibbs_regression",
@@ -958,8 +962,17 @@ def gibbs_regression(
             jax.jit(lambda A: jnp.sum(jnp.var(A.astype(jnp.float32), axis=0)))(X)
         )
     else:
-        Xp = np.zeros((n, p_pad), dtype=np.float32)
-        Xp[:, :p] = X
+        # Repeated chains on the same host panel (the standard pattern:
+        # parameter sweeps, warm benches, model comparisons) skip the panel
+        # upload — at 2048×32768 the 268 MB h2d through the tunnel cost more
+        # than the 150-sweep chain it fed. Single-slot, fingerprint-keyed
+        # (utils/devcache.py); the cached value is the PADDED device panel.
+        fp = (host_fingerprint(X), p_pad)
+        Xp = _PANEL_CACHE.get(fp)
+        if Xp is None:
+            Xh = np.zeros((n, p_pad), dtype=np.float32)
+            Xh[:, :p] = X
+            Xp = _PANEL_CACHE.put(fp, jnp.asarray(Xh))
         ms_x = float(np.sum(np.var(X, axis=0)))
     valid = np.zeros(p_pad, dtype=np.float32)
     valid[:p] = 1.0
@@ -1141,8 +1154,15 @@ def gibbs_cv_folds(
     else:
         group_size = 0
     p_pad = ((p + bs - 1) // bs) * bs
-    Xp = np.zeros((n, p_pad), dtype=np.float32)
-    Xp[:, :p] = X
+    # Same single-slot padded-panel cache as gibbs_regression: the Bayesian
+    # CV zoo runs several models back-to-back on one panel, and only the
+    # first pays the upload.
+    fp = (host_fingerprint(X), p_pad)
+    Xp = _PANEL_CACHE.get(fp)
+    if Xp is None:
+        Xh = np.zeros((n, p_pad), dtype=np.float32)
+        Xh[:, :p] = X
+        Xp = _PANEL_CACHE.put(fp, jnp.asarray(Xh))
     valid = np.zeros(p_pad, dtype=np.float32)
     valid[:p] = 1.0
 
