@@ -26,7 +26,11 @@ import numpy as np
 
 from ..core.structs import Genomes, Phenomes
 from ..prediction import extractxyetc
+from ..utils.devcache import SingleSlotCache, host_fingerprint
 from .endofunctions import BINARY_DEFAULTS, FUNCTION_REGISTRY, UNARY_DEFAULTS, registry_name
+
+# Padded device panel of the most recent transform2 GEMM scan.
+_T2_PANEL_CACHE = SingleSlotCache()
 
 __all__ = [
     "transform1",
@@ -341,8 +345,16 @@ def transform2(
             D = 1
         rc = 128
         l_pad = int(math.ceil(l / (D * rc)) * D * rc)
-        Xpad = np.zeros((n, l_pad), dtype=np.float32)
-        Xpad[:, :l] = X
+        # Repeated scans on one panel (epistasisfeatures' n_reps rounds over
+        # the SAME growing genomes run the scan per transformation; warm
+        # benches) reuse the padded device panel: single-slot,
+        # fingerprint-keyed (utils/devcache.py).
+        fp = (host_fingerprint(X), l_pad, "t2")
+        Xdev = _T2_PANEL_CACHE.get(fp)
+        if Xdev is None:
+            Xpad = np.zeros((n, l_pad), dtype=np.float32)
+            Xpad[:, :l] = X
+            Xdev = _T2_PANEL_CACHE.put(fp, jnp.asarray(Xpad))
         okpad = np.zeros(l_pad, dtype=bool)
         okpad[:l] = ok
         k = int(min(k_cap, rc * l_pad))
@@ -361,12 +373,12 @@ def transform2(
             )
         if mesh is not None:
             vals, ii_all, jj_all = _pairs_topk_sharded(
-                jnp.asarray(Xpad), ymj, jnp.asarray(okpad), mesh, axis,
+                Xdev, ymj, jnp.asarray(okpad), mesh, axis,
                 fname_dispatch, commutative, k, rc,
             )
         else:
             tv, tr, tc = _pairs_topk_single(
-                jnp.asarray(Xpad), ymj, jnp.asarray(okpad),
+                Xdev, ymj, jnp.asarray(okpad),
                 fname_dispatch, commutative, k, rc,
             )
             vals = np.asarray(tv)
