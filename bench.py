@@ -494,6 +494,23 @@ def bench_gwas(on_tpu: bool) -> None:
         len(fit.b_hat) / dt_w,
         "markers/s",
     )
+    # The other two scans ride the same cached device prep: the whole
+    # three-scan sweep (ols t-stats, EMMAX-LMM z-stats, per-marker REML)
+    # pays ONE upload+GRM. The reference threads each scan over markers
+    # with per-marker pinv / MixedModels fits (src/gwas.jl:238-249,
+    # :363-385).
+    for fn, name in ((gbm.gwasols, "GWAS-OLS"), (gbm.gwaslmm, "GWAS-LMM")):
+        fn(genomes=genomes, phenomes=phenomes)  # compile warmup
+        t0 = time.perf_counter()
+        fit2 = fn(genomes=genomes, phenomes=phenomes)
+        dt2 = time.perf_counter() - t0
+        assert np.all(np.isfinite(fit2.b_hat))
+        emit(
+            f"{name} markers/s, prep-cached (n={n}, p={p}, closed-form "
+            "Schur-complement scan)",
+            len(fit2.b_hat) / dt2,
+            "markers/s",
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -750,7 +767,7 @@ SECTION_FLOOR = {
     "northstar": 90,
     "sampler": 150,
     "samplerbig": 90,
-    "gwas": 50,
+    "gwas": 70,
     "cv": 100,
     "diskstream": 130,
     "epistasis": 60,
