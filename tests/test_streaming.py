@@ -218,3 +218,30 @@ def test_unpack_bed_payload_ragged_and_missing(tmp_path):
     assert int(miss) == 2
     expect = np.nan_to_num(F.T * 2, nan=0.0).astype(np.int8)
     assert np.array_equal(np.asarray(got), expect)
+
+
+def test_iter_device_ahead_order_content_and_inline_equivalence():
+    """The double-buffered h2d stage must preserve shard order and content,
+    and the GBM_STREAM_H2D_AHEAD=0 inline escape hatch must yield the same
+    stream."""
+    import os
+
+    import numpy as np
+    from genomicbreedingmodels_tpu.streaming import _iter_device_ahead
+
+    rng = np.random.default_rng(1)
+    shards = [(i * 4, i * 4 + 4, rng.integers(0, 255, size=(4, 7), dtype=np.uint8))
+              for i in range(5)]
+    out = list(_iter_device_ahead(iter(shards)))
+    assert [(a, b) for a, b, _ in out] == [(a, b) for a, b, _ in shards]
+    for (_, _, host), (_, _, dev) in zip(shards, out):
+        np.testing.assert_array_equal(np.asarray(dev), host)
+    os.environ["GBM_STREAM_H2D_AHEAD"] = "0"
+    try:
+        out2 = list(_iter_device_ahead(iter(shards)))
+    finally:
+        os.environ.pop("GBM_STREAM_H2D_AHEAD", None)
+    for (_, _, d1), (_, _, d2) in zip(out, out2):
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # Empty stream: no yields, no hang.
+    assert list(_iter_device_ahead(iter([]))) == []
