@@ -236,9 +236,11 @@ def _prep_device(
         )
         return Gd, yd, Kd, fit
     t0 = _time.perf_counter()
+    # copy=False: the prep only READS G (fingerprint, quantize, upload) —
+    # the full-panel case then skips a 537 MB host copy.
     G, y, entries, populations, loci_alleles = extractxyetc(
         genomes, phenomes, idx_entries=idx_entries, idx_loci_alleles=idx_loci_alleles,
-        idx_trait=idx_trait, add_intercept=False,
+        idx_trait=idx_trait, add_intercept=False, copy=False,
     )
     tm["host_extract"] = _time.perf_counter() - t0
     if np.var(y, ddof=1) < np.finfo(np.float64).eps:

@@ -60,6 +60,7 @@ def extractxyetc(
     idx_trait: int = 0,
     add_intercept: bool = True,
     impute_missing: Optional[str] = None,
+    copy: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract (X, y, entries, populations, loci_alleles) for one trait.
 
@@ -72,6 +73,12 @@ def extractxyetc(
     silently poisons every downstream GEMM. Pass `impute_missing="mean"` to
     column-mean-impute the sliced panel in place of erroring (all-missing
     columns become their 0.5 midpoint).
+
+    `copy=False` (internal fast path for READ-ONLY consumers, e.g. the GWAS
+    device prep) returns X as a VIEW of `genomes.allele_frequencies` when
+    the selection covers the whole panel in natural order and no intercept
+    column is prepended — skipping a panel-sized host copy (~1-2 s at
+    2048×32768 f64 on a 2-core host). The caller must not mutate X.
     """
     if not genomes.checkdims():
         raise ValueError("the Genomes struct is corrupted")
@@ -96,9 +103,20 @@ def extractxyetc(
     if np.var(y, ddof=1) < 1e-20:
         raise ValueError(f"very low or zero variance in trait: {phenomes.traits[idx_trait]!r}")
     rows = idx_e[keep]
-    G = genomes.allele_frequencies[np.ix_(rows, idx_l)]
+    full_panel = (
+        len(rows) == genomes.n
+        and len(idx_l) == genomes.p
+        and np.array_equal(rows, np.arange(genomes.n))
+        and np.array_equal(idx_l, np.arange(genomes.p))
+    )
+    if not copy and full_panel and not add_intercept:
+        G = genomes.allele_frequencies  # view; caller contract: read-only
+    else:
+        G = genomes.allele_frequencies[np.ix_(rows, idx_l)]
     if not np.all(np.isfinite(G)):
         if impute_missing == "mean":
+            if G is genomes.allele_frequencies:
+                G = G.copy()  # never impute into the caller's panel
             G = mean_impute(G)
         else:
             n_bad = int(np.size(G) - np.count_nonzero(np.isfinite(G)))

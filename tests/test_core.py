@@ -86,3 +86,34 @@ def test_entry_and_locus_index_lookup(sim_small):
     assert gbm.Genomes.entry_indices(genomes, names).tolist() == [5, 2, 9]
     with pytest.raises(KeyError):
         genomes.entry_indices(["nope"])
+
+
+def test_extractxyetc_nocopy_view_semantics():
+    """copy=False returns a read-only-contract VIEW for full-panel
+    selections (no intercept), an independent copy otherwise, and never
+    imputes into the caller's panel."""
+    import genomicbreedingmodels_tpu as gbm
+
+    genomes = gbm.simulate_genomes(n=30, l=50, seed=8)
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.0, 0.0]]), seed=8
+    )
+    phen = gbm.extract_phenomes(trials)
+    X_v, y, *_ = gbm.extractxyetc(genomes, phen, add_intercept=False, copy=False)
+    assert np.shares_memory(X_v, genomes.allele_frequencies)
+    X_c, y2, *_ = gbm.extractxyetc(genomes, phen, add_intercept=False)
+    assert not np.shares_memory(X_c, genomes.allele_frequencies)
+    np.testing.assert_array_equal(X_v, X_c)
+    np.testing.assert_array_equal(y, y2)
+    # subset selection always copies, even with copy=False
+    X_s, *_ = gbm.extractxyetc(
+        genomes, phen, idx_entries=list(range(10)), add_intercept=False, copy=False
+    )
+    assert not np.shares_memory(X_s, genomes.allele_frequencies)
+    # imputation with copy=False must NOT write into the caller's panel
+    genomes.allele_frequencies[3, 7] = np.nan
+    X_i, *_ = gbm.extractxyetc(
+        genomes, phen, add_intercept=False, copy=False, impute_missing="mean"
+    )
+    assert np.isnan(genomes.allele_frequencies[3, 7])  # untouched
+    assert np.isfinite(X_i).all()
