@@ -319,7 +319,6 @@ def cvbulk_batched(
         X, K, Z, tr_scale = hit
     ratio_grid = jnp.asarray(tr_scale * np.logspace(-3.0, 3.0, 13), jnp.float32)
 
-    lasso_lams = None
     cvs: List[CV] = []
     notes: List[str] = []
     rng = np.random.default_rng(seed)  # one stream: fold labels match cvbulk
