@@ -217,6 +217,12 @@ def _prep_device(
     cache_key = (
         host_fingerprint(genomes.allele_frequencies),
         host_fingerprint(phenomes.phenotypes),
+        # The cached value includes METADATA (labels/entries/populations), so
+        # the names participate in the key: identical numeric panels with
+        # renamed entries/loci must miss.
+        hash("\x00".join(genomes.entries.tolist())),
+        hash("\x00".join(genomes.populations.tolist())),
+        hash("\x00".join(genomes.loci_alleles.tolist())),
         None if idx_entries is None else tuple(np.asarray(idx_entries).tolist()),
         None if idx_loci_alleles is None else tuple(np.asarray(idx_loci_alleles).tolist()),
         int(idx_trait),

@@ -195,3 +195,33 @@ def test_gwas_prep_cache_same_results_and_trait_separation():
         assert not np.array_equal(f3.b_hat, f1.b_hat)
     finally:
         gwas_mod._prep_onchip = orig
+
+
+def test_gwas_prep_cache_misses_on_renamed_entries():
+    """Identical numeric panel with renamed entries must MISS the prep cache
+    (the cached value carries entry/label metadata)."""
+    import numpy as np
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.models import gwas as gwas_mod
+
+    genomes = gbm.simulate_genomes(n=40, l=80, seed=5)
+    genomes.allele_frequencies = np.round(genomes.allele_frequencies * 2) / 2
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.0, 0.0]]), seed=5
+    )
+    phen = gbm.extract_phenomes(trials)
+    gwas_mod._PREP_CACHE.clear()
+    f1 = gbm.gwasols(genomes=genomes, phenomes=phen)
+    renamed = gbm.Genomes(
+        entries=np.asarray([f"renamed_{e}" for e in genomes.entries], dtype=object),
+        populations=genomes.populations,
+        loci_alleles=genomes.loci_alleles,
+        allele_frequencies=genomes.allele_frequencies,
+    )
+    phen2 = gbm.Phenomes(
+        entries=renamed.entries, populations=phen.populations,
+        traits=phen.traits, phenotypes=phen.phenotypes,
+    )
+    f2 = gbm.gwasols(genomes=renamed, phenomes=phen2)
+    assert f2.entries[0].startswith("renamed_")  # fresh metadata, not stale
+    np.testing.assert_allclose(f2.b_hat, f1.b_hat, rtol=1e-6)  # same numerics
