@@ -223,6 +223,9 @@ def _prep_device(
         hash("\x00".join(genomes.entries.tolist())),
         hash("\x00".join(genomes.populations.tolist())),
         hash("\x00".join(genomes.loci_alleles.tolist())),
+        # phenomes.entries too: a hit must not bypass the genomes/phenomes
+        # entry-equality guard that extractxyetc enforces on the miss path.
+        hash("\x00".join(phenomes.entries.tolist())),
         None if idx_entries is None else tuple(np.asarray(idx_entries).tolist()),
         None if idx_loci_alleles is None else tuple(np.asarray(idx_loci_alleles).tolist()),
         int(idx_trait),
