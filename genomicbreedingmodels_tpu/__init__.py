@@ -83,6 +83,7 @@ from .cv.harness import (
     cvperpopulation,
     validate,
 )
+from .utils.devcache import clear_device_caches
 
 __version__ = "0.1.0"
 
@@ -166,4 +167,5 @@ __all__ = [
     "cvleaveonepopulationout",
     "tabularise",
     "summarise",
+    "clear_device_caches",
 ]

@@ -19,11 +19,25 @@ at the cost this cache removes).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["host_fingerprint", "SingleSlotCache"]
+__all__ = ["host_fingerprint", "SingleSlotCache", "clear_device_caches"]
+
+# Every SingleSlotCache registers itself so one call can release all the
+# HBM the reuse slots pin (e.g. before a deliberately huge device job).
+_REGISTRY: List["SingleSlotCache"] = []
+
+
+def clear_device_caches() -> int:
+    """Empty every device-reuse cache slot; returns how many held a value."""
+    n = 0
+    for c in _REGISTRY:
+        if c._value is not None:
+            n += 1
+        c.clear()
+    return n
 
 
 def host_fingerprint(arr) -> Tuple:
@@ -43,6 +57,7 @@ class SingleSlotCache:
     def __init__(self) -> None:
         self._key: Optional[Tuple] = None
         self._value: Any = None
+        _REGISTRY.append(self)
 
     def get(self, key: Tuple) -> Any:
         return self._value if key == self._key else None

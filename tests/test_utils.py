@@ -225,3 +225,24 @@ def test_gwas_prep_cache_misses_on_renamed_entries():
     f2 = gbm.gwasols(genomes=renamed, phenomes=phen2)
     assert f2.entries[0].startswith("renamed_")  # fresh metadata, not stale
     np.testing.assert_allclose(f2.b_hat, f1.b_hat, rtol=1e-6)  # same numerics
+
+
+def test_clear_device_caches_empties_all_slots():
+    import numpy as np
+    import genomicbreedingmodels_tpu as gbm
+    from genomicbreedingmodels_tpu.models import gwas as gwas_mod
+    from genomicbreedingmodels_tpu.utils.devcache import SingleSlotCache
+
+    c = SingleSlotCache()  # auto-registered
+    c.put(("k",), "v")
+    genomes = gbm.simulate_genomes(n=30, l=40, seed=2)
+    genomes.allele_frequencies = np.round(genomes.allele_frequencies * 2) / 2
+    trials, _ = gbm.simulate_trials(
+        genomes, f_add_dom_epi=np.array([[0.5, 0.0, 0.0]]), seed=2
+    )
+    phen = gbm.extract_phenomes(trials)
+    gbm.gwasols(genomes=genomes, phenomes=phen)  # populates the prep cache
+    n_cleared = gbm.clear_device_caches()
+    assert n_cleared >= 2  # the local slot + the gwas prep slot at minimum
+    assert c.get(("k",)) is None
+    assert gwas_mod._PREP_CACHE.get(("anything",)) is None
