@@ -17,11 +17,13 @@ metrics cover the rest of BASELINE.md's target table:
   buffer the 16 GB chip does not have. Per-stage timings print to stderr.
 - raw host->device link probe: a bare 256 MB device_put in GB/s — measures
   the tunnel tax that the gwas/diskstream/cv stage notes attribute.
-- Gibbs sampler marker-updates/s: BayesC on the grouped 2^K-pattern
-  collapsed kernel (the shipped default) + BRR joint block draws, plus
-  effect-ESS/s over honest 1000-post-burnin-sweep windows on a signal
-  panel, plus BASELINE config-3 AT SIZE (10k x 102.4k, device-synthesized
-  panel — see bench_sampler_big).
+- Gibbs sampler marker-updates/s: BayesC on the 2^K-pattern collapsed
+  draw — the pallas per-block kernel on TPU, the XLA grouped scan
+  elsewhere (the shipped "auto" default, models/bayesian.py) — + BRR
+  joint block draws, plus effect-ESS/s over honest
+  1000-post-burnin-sweep windows on a signal panel, plus BASELINE
+  config-3 AT SIZE (10k x 102k, device-synthesized panel — see
+  bench_sampler_big).
 - GWAS-REML markers/s (the reference's O(p n^3) hot spot, rotated).
 - cvbulk wall-clock: replicated k-fold CV via the batched fold-sharded
   engine (reference scheduler: src/cross_validation.jl:151-206), now
@@ -294,8 +296,12 @@ def bench_sampler(on_tpu: bool) -> None:
     rng = np.random.default_rng(0)
     X = rng.uniform(size=(n, p)).astype(np.float32)
     y = rng.normal(size=n).astype(np.float32)
+    bayesc_label = (
+        "2^K collapsed draw, pallas block kernel" if on_tpu
+        else "grouped 2^K-pattern collapsed draw"
+    )  # shipped default resolves per backend (models/bayesian.py auto)
     for model, label in (
-        ("BayesC", "grouped 2^K-pattern collapsed draw"),  # shipped default
+        ("BayesC", bayesc_label),
         ("BRR", "joint block draw"),  # continuous prior: one Cholesky per block
     ):
         # n_iter is a jit static: the warmup must run the EXACT config or the
@@ -330,7 +336,7 @@ def bench_sampler(on_tpu: bool) -> None:
     g_e = X_e @ beta_e
     y_e = (g_e + rng_e.normal(size=n_e) * max(g_e.std(), 1e-3)).astype(np.float32)
     for model, label in (
-        ("BayesC", "grouped 2^K-pattern collapsed draw"),
+        ("BayesC", bayesc_label),
         ("BRR", "joint block draw"),
     ):
         gibbs_regression(X_e, y_e, model=model, n_iter=iter_e, n_burnin=burn_e, seed=2)
@@ -373,15 +379,17 @@ def bench_sampler_big(on_tpu: bool) -> None:
     import numpy as np
     from genomicbreedingmodels_tpu.models.bayesian import gibbs_regression
 
-    # p and block_size are chosen so the panel tiles EXACTLY: bs=510 is a
-    # multiple of the grouped draw's K=6 and divides p, so p_pad == p and
-    # the sampler aliases the device panel instead of materializing a padded
-    # 4.1 GB copy (input + pad + centered panel = 12.3 GB was the
-    # RESOURCE_EXHAUSTED the first at-size attempt hit).
+    # p and block_size are chosen so the panel tiles EXACTLY: bs=600 is a
+    # multiple of the pallas grouped draw's K=8 (and of K=6) and divides p,
+    # so p_pad == p and the sampler aliases the device panel instead of
+    # materializing a padded 4.1 GB copy (input + pad + centered panel =
+    # 12.3 GB was the RESOURCE_EXHAUSTED the first at-size attempt hit).
+    # bs=600 measured fastest for the pallas kernel at this size (1.52M
+    # updates/s vs 1.47M at bs=400; bs=1200 falls off a VMEM cliff).
     if on_tpu:
-        n, p, bs, sweeps, burn = 10_000, 102_000, 510, 60, 10
+        n, p, bs, sweeps, burn = 10_000, 102_000, 600, 60, 10
     else:
-        n, p, bs, sweeps, burn = 256, 2_040, 510, 30, 5
+        n, p, bs, sweeps, burn = 256, 2_400, 600, 30, 5
 
     @jax.jit
     def synth(key):
@@ -401,7 +409,8 @@ def bench_sampler_big(on_tpu: bool) -> None:
     _sync(X)
     y = np.asarray(y_dev)  # 40 KB readback; the panel never crosses the link
     for model, label in (
-        ("BayesC", "grouped 2^K-pattern collapsed draw"),
+        ("BayesC", ("2^K collapsed draw, pallas block kernel" if on_tpu
+                    else "grouped 2^K-pattern collapsed draw")),
         ("BRR", "joint block draw"),
     ):
         kw = dict(model=model, n_burnin=burn, seed=4, block_size=bs)

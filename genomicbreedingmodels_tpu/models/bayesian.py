@@ -873,9 +873,9 @@ def gibbs_regression(
     one Pallas kernel per block (ops/pallas_gibbs.py), "grouped" = the same
     exact update as an XLA scan, "scalar" = the one-marker-at-a-time scan
     (the equivalence oracle). All target the identical posterior; "auto"
-    resolves to "grouped" everywhere (the per-pallas_call launch overhead
-    measured through the axon tunnel makes the per-block Pallas kernel a
-    net loss there — see the inline comment at the dispatch site).
+    resolves to "pallas" on TPU for the indicator models (K rounded to 8,
+    block_size <= 1024 — measured ~3x the XLA grouped scan on v5e, see the
+    dispatch-site comment) and to "grouped" elsewhere.
 
     `fix_sigma_e2`/`fix_sigma_b2` (both required together) pin the residual
     and marker variances, making the marker-effect posterior exactly Gaussian
@@ -910,20 +910,42 @@ def gibbs_regression(
     if indicator_update not in ("auto", "grouped", "pallas", "scalar"):
         raise ValueError(f"unknown indicator_update {indicator_update!r}")
     if indicator_update == "auto":
-        # The XLA grouped scan everywhere. The Pallas kernel
-        # (ops/pallas_gibbs.py) is the right design for direct-attached TPUs
-        # (one launch per block vs ~40 dispatch-bound HLO ops per group), but
-        # through the axon remote tunnel every pallas_call carries ~2.3 ms of
-        # fixed launch overhead even inside a compiled scan (measured: a
-        # 3-op kernel takes 2.49 ms/call in a device-side lax.scan), which
-        # makes it 2-3x SLOWER than the XLA scan here. Opt in explicitly
-        # with indicator_update="pallas" on hardware without that overhead.
-        indicator_update = "grouped"
+        # TPU: the Pallas per-block kernel (ops/pallas_gibbs.py) — the whole
+        # within-block sequential group scan runs VMEM-resident in ONE launch
+        # instead of ~40 dispatch-bound HLO ops per group step. Measured on
+        # v5e (round 5): BayesC 2048x32768 at 2.0M marker-updates/s vs 677k
+        # for the XLA grouped scan at the same K=8. (Round 3 measured ~2.3 ms
+        # of fixed per-pallas_call overhead through the axon tunnel and made
+        # the kernel opt-in; the current runtime measures ~9 us/call, so the
+        # kernel now wins by ~3x — re-probe per deployment with
+        # GBM_MCMC_INDICATOR_UPDATE if the transport changes.)
+        # The kernel needs 2^K lanes per group (K=8) and VMEM-bounded blocks
+        # (measured at 10k x 102k: 1.47-1.52M updates/s at bs=400-600, but a
+        # cliff to 255k at bs=1200 when the per-block pattern tables outgrow
+        # VMEM); non-indicator models and blocks >1024 keep the XLA grouped
+        # scan. CPU: grouped (Mosaic interpret mode is test-only).
+        dev0 = jax.devices()[0]
+        is_tpu = dev0.platform == "tpu" or "TPU" in getattr(dev0, "device_kind", "")
+        if (
+            is_tpu
+            and model in ("BayesB", "BayesC", "BLPi", "BayesTPi")
+            and int(min(block_size, max(8, np.shape(X)[1]))) <= 1024
+        ):
+            indicator_update = "pallas"
+        else:
+            indicator_update = "grouped"
     pallas_groups = indicator_update == "pallas"
     if indicator_update in ("grouped", "pallas") and model in (
         "BayesB", "BayesC", "BLPi", "BayesTPi",
     ):
         group_size = int(cfg.mcmc_group_size)
+        if pallas_groups and (1 << group_size) % 128 != 0:
+            # The kernel's lane-major (K, G·2^K) layout needs whole 128-lane
+            # tiles per group (Mosaic rejects the collapse otherwise), so 2^K
+            # must be a lane multiple: round the configured K up to 8. Same
+            # stationary distribution either way — K only sets the joint-draw
+            # blocking.
+            group_size = 8
     elif indicator_update == "grouped" and model == "BL":
         # BL rides the grouped machinery degenerated to the single all-ones
         # pattern (K-marker joint draws; no Pallas variant for this shape).

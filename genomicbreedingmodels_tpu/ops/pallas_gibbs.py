@@ -229,7 +229,24 @@ def grouped_block_update(Cb, u, b_blk, s2_blk, val_blk, normals, gum,
     bs = Cb.shape[0]
     G = bs // K
     n_pat = 1 << K
+    if n_pat % 128 != 0 and not interpret:
+        # The lane-major (K, G, 2^K) -> (K, G*2^K) collapse requires whole
+        # lane tiles per group: Mosaic rejects the shape cast when 2^K < 128
+        # ("infer-vector-layout: unsupported shape cast", measured at K=6).
+        # Callers (models/bayesian.py) round group_size to 8 on the pallas
+        # path; direct users get the actionable error here.
+        raise ValueError(
+            f"grouped_block_update requires 2^K to be a multiple of 128 lanes "
+            f"on TPU (K=7 or K=8); got K={K}. Use K=8 or the XLA grouped path."
+        )
     lanes = G * n_pat
+    # Scoped-VMEM budget: the two (K, K, lanes) scratch tables dominate and
+    # the compiler's stack temporaries run ~2-3x past them — the default
+    # 16 MB scope overflows beyond bs=448 at K=8 (measured 20.7 MB at
+    # bs=512, and even bs=256 needs >10 MB with temporaries). Request a flat
+    # generous scope: the kernel runs alone in its program region, and the
+    # chip has 128 MB VMEM.
+    vmem_limit = 96 * (1 << 20)
     scal = jnp.stack([sig_e2, jnp.log(pi_in), jnp.log1p(-pi_in), jnp.float32(0)]
                      ).astype(jnp.float32).reshape(1, 4)
     shp = jax.ShapeDtypeStruct((G, K), jnp.float32)
@@ -265,6 +282,7 @@ def grouped_block_update(Cb, u, b_blk, s2_blk, val_blk, normals, gum,
             bytes_accessed=(2 * K * K * lanes + bs * bs + 10 * bs) * 4,
             transcendentals=2 * int(lanes),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(
         scal,

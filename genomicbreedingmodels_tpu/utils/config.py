@@ -28,10 +28,14 @@ class GBMConfig:
     # to Z = W̃v + Gumbel-argmax + one K-vector matvec — measured 341-360k
     # updates/s at 2048×32768 on v5e (K∈{4..8}; round-3's two-table variant
     # hit 213-226k, the scalar scan 56-93k). "pallas" runs the same update
-    # as one Pallas kernel per block (ops/pallas_gibbs.py) — the right
-    # design for direct-attached TPUs, but the tunnel adds ~2.3 ms fixed
-    # overhead per kernel launch, so it is opt-in. "scalar" is the
-    # one-marker-at-a-time oracle. "auto" (default) = grouped.
+    # as one Pallas kernel per block (ops/pallas_gibbs.py): the whole
+    # within-block group scan is VMEM-resident in one launch — measured
+    # 2.0M updates/s at 2048×32768 and 1.52M at 10k×102k on v5e (round 5;
+    # per-launch overhead through the current tunnel runtime is ~9 us, not
+    # the ~2.3 ms round 3 measured). "scalar" is the one-marker-at-a-time
+    # oracle. "auto" (default) = pallas on TPU for indicator models with
+    # block_size <= 1024 (K rounded to 8 — the kernel needs 2^K lanes),
+    # grouped everywhere else.
     mcmc_indicator_update: str = "auto"
     # K=6 measured fastest on v5e (360k vs 338k at K=8, 341k at K=4: the
     # per-step pattern batch 2^K·K² stays VPU-cheap while the sequential

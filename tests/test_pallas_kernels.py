@@ -115,3 +115,27 @@ def test_grouped_block_update_matches_f64_oracle():
     np.testing.assert_allclose(d, d_ref, atol=5e-6)
     np.testing.assert_allclose(bn, b_ref, atol=5e-6)
     assert np.all(incl_ref == incl)
+
+
+def test_grouped_block_update_rejects_sub_lane_K_on_hardware():
+    """2^K below one 128-lane tile (K<7) cannot be Mosaic-lowered (the
+    lane-major pattern collapse is an unsupported shape cast); the kernel
+    raises an actionable ValueError instead of a remote-compile HTTP 500.
+    Interpret mode (the CPU test path) accepts any K."""
+    import jax.numpy as jnp
+    import pytest
+
+    from genomicbreedingmodels_tpu.ops.pallas_gibbs import grouped_block_update
+
+    K, bs = 6, 24
+    G = bs // K
+    args = (
+        jnp.eye(bs), jnp.zeros(bs), jnp.zeros(bs), jnp.ones(bs),
+        jnp.ones(bs), jnp.zeros(bs), jnp.zeros((G, 1 << K)),
+        jnp.float32(1.0), jnp.float32(0.3),
+    )
+    with pytest.raises(ValueError, match="multiple of 128"):
+        grouped_block_update(*args, K=K, interpret=False)
+    # interpret mode still works at K=6 (exercised fully by the oracle test)
+    d, bn, incl = grouped_block_update(*args, K=K, interpret=True)
+    assert d.shape == (bs,)
