@@ -266,9 +266,19 @@ def _gibbs_chain(
         # memory is batch_hint × the single-chain amount — gate on the TOTAL
         # or a 25-fold CV at large p would OOM the chip the gate exists to
         # protect. Non-hoisted chains fall back to in-step elimination.
+        # Padding-aware table-size accounting: on TPU the W̃ table's trailing
+        # (K, K) dims are tile-padded to (sublane 8, lane 128) f32 tiles, so
+        # the RESIDENT table is (⌈K/8⌉·8)·128 floats per (group, pattern) —
+        # 16-21x the unpadded K² for K ≤ 8 (measured: the K=8 table at
+        # 10k×102k, 797 MB unpadded, allocated 12.45 GB padded and OOM'd the
+        # chip). Counting unpadded floats was exactly that OOM.
+        if jax.default_backend() == "cpu":
+            kk_resident = K_g * K_g
+        else:
+            kk_resident = ((K_g + 7) // 8) * 8 * 128
         hoist_groups = (
             not pallas_groups
-            and max(1, batch_hint) * (p_pad // K_g) * n_pat * K_g * K_g <= int(3.6e8)
+            and max(1, batch_hint) * (p_pad // K_g) * n_pat * kk_resident <= int(3.6e8)
         )
     else:
         hoist_groups = False
